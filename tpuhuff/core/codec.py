@@ -1,0 +1,231 @@
+"""Block codec: in-memory compress / decompress.
+
+Capability match for `/root/reference/huff_coding/src/comp.rs` (L3 in SURVEY
+§1): ``compress`` (`comp.rs:353-356`), ``compress_with_tree``
+(`comp.rs:419-451`), ``decompress`` (`comp.rs:487-519`).
+
+TPU-first redesign: the reference's bit-serial pack loop (`comp.rs:424-447`)
+and per-bit tree walk (`comp.rs:493-516`) become vectorized array programs.
+This module holds the *host* (numpy) implementations — the exact same
+expand/scan/pack formulation the Pallas kernels use on device
+(:mod:`tpuhuff.kernels`) — plus the generic-letter slow path.  The C++ native
+runtime (:mod:`tpuhuff.native`) plugs in below numpy for single-stream
+latency; all three produce identical bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Hashable, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .bits import calc_padding_bits
+from .format import CompressData, CompressError
+from .letters import U8, LetterType, letter_type
+from .tree import HuffTree
+from .weights import ByteWeights, build_weights_map
+
+__all__ = [
+    "compress",
+    "compress_with_tree",
+    "decompress",
+    "pack_codes_u8",
+    "unpack_codes_u8",
+]
+
+BytesLike = Union[bytes, bytearray, memoryview, np.ndarray]
+
+# chunk size for the numpy bit-expansion (bounds temp memory to ~35 MB/chunk)
+_PACK_CHUNK = 1 << 20
+
+
+def _is_u8_data(letters) -> bool:
+    return isinstance(letters, (bytes, bytearray, memoryview)) or (
+        isinstance(letters, np.ndarray) and letters.dtype == np.uint8
+    )
+
+
+def _as_u8(letters) -> np.ndarray:
+    if isinstance(letters, np.ndarray):
+        return letters.ravel()
+    return np.frombuffer(bytes(letters), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# u8 fast path: vectorized pack / unpack (numpy form of the device kernels)
+# ---------------------------------------------------------------------------
+def pack_codes_u8(
+    data: np.ndarray, lens_lut: np.ndarray, codes_lut: np.ndarray
+) -> tuple[bytes, int]:
+    """Pack ``data`` bytes into a MSB-first bitstream via dense LUTs.
+
+    The vectorized analogue of the reference's shift/or loop
+    (`comp.rs:424-447`): gather code lengths, exclusive-scan bit offsets,
+    expand each code to its bit positions, and ``packbits``.  Returns
+    ``(payload_bytes, padding_bits)``.
+
+    Raises :class:`CompressError` on a byte with no code (LUT len 0),
+    matching `comp.rs:427-432`.
+    """
+    data = _as_u8(data)
+    lens = lens_lut[data].astype(np.int64)
+    if lens.size and int(lens.min()) == 0:
+        missing = int(data[int(np.argmin(lens))])
+        raise CompressError("letter not found in codes", missing)
+    total_bits = int(lens.sum())
+    if total_bits == 0:
+        return b"", 0
+    bits = np.empty(total_bits, dtype=np.uint8)
+    # chunk the expansion to bound temp memory; bit offsets carry across chunks
+    bit_base = 0
+    for start in range(0, data.size, _PACK_CHUNK):
+        chunk = data[start : start + _PACK_CHUNK]
+        clens = lens[start : start + _PACK_CHUNK]
+        ctotal = int(clens.sum())
+        offsets = np.cumsum(clens) - clens  # exclusive scan
+        rep_codes = np.repeat(codes_lut[chunk], clens)
+        rep_lens = np.repeat(clens, clens)
+        pos_in_code = np.arange(ctotal, dtype=np.int64) - np.repeat(offsets, clens)
+        shift = (rep_lens - 1 - pos_in_code).astype(np.uint64)
+        bits[bit_base : bit_base + ctotal] = (
+            (rep_codes >> shift) & np.uint64(1)
+        ).astype(np.uint8)
+        bit_base += ctotal
+    payload = np.packbits(bits).tobytes()  # MSB-first, zero-padded
+    return payload, calc_padding_bits(total_bits)
+
+
+def unpack_codes_u8(
+    payload: BytesLike, padding_bits: int, tree: HuffTree
+) -> bytes:
+    """Decode a MSB-first bitstream with the byte-driven DFA.
+
+    Table-driven replacement for the reference's per-bit pointer chase
+    (`comp.rs:493-519`): one table lookup consumes 8 compressed bits and emits
+    0..8 letters.  The final byte honors ``padding_bits`` (`comp.rs:516`).
+    """
+    payload = bytes(payload)
+    if not payload:
+        return b""
+    nbits = len(payload) * 8 - padding_bits
+    if tree.is_leaf(tree.root):
+        # degenerate single-letter tree: every payload bit emits the letter
+        # (`comp.rs:506-509` — walker is at a leaf already for every bit)
+        return bytes([int(tree.letters[tree.root])]) * nbits
+    next_state, emit_count, emit_syms, _ = tree.decode_dfa()
+    out = bytearray()
+    state = 0
+    full_bytes = payload[:-1] if padding_bits else payload
+    arr = np.frombuffer(full_bytes, dtype=np.uint8)
+    # the DFA walk is serial; numpy handles emission buffers per step batch.
+    # (python loop here is the correctness baseline; the C++/TPU paths own
+    # the hot decode.)
+    for byte in arr:
+        b = int(byte)
+        cnt = int(emit_count[state, b])
+        if cnt:
+            out += emit_syms[state, b, :cnt].tobytes()
+        state = int(next_state[state, b])
+    if padding_bits:
+        # walk the last byte bit-by-bit, stopping before the padding
+        left, right, letters = tree.left, tree.right, tree.letters
+        node = _state_to_node(tree, state)
+        last = payload[-1]
+        for bit_i in range(7, padding_bits - 1, -1):
+            bit = (last >> bit_i) & 1
+            node = int(right[node] if bit else left[node])
+            if left[node] < 0:
+                out.append(int(letters[node]))
+                node = tree.root
+    return bytes(out)
+
+
+def _state_to_node(tree: HuffTree, state: int) -> int:
+    internal = [n for n in range(tree.num_nodes) if not tree.is_leaf(n)]
+    internal.sort(key=lambda n: (n != tree.root,))
+    return internal[state]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+def compress(letters, ltype: LetterType | str | None = None) -> CompressData:
+    """Count weights, build a tree, and compress (`comp.rs:353-356`)."""
+    if _is_u8_data(letters):
+        tree = HuffTree.from_weights(ByteWeights.from_bytes(_as_u8(letters)))
+        return compress_with_tree(letters, tree, ltype or U8)
+    weights = build_weights_map(letters)
+    tree = HuffTree.from_weights(weights)
+    return compress_with_tree(letters, tree, ltype)
+
+
+def compress_with_tree(
+    letters, huff_tree: HuffTree, ltype: LetterType | str | None = None
+) -> CompressData:
+    """Compress with a pre-built tree (`comp.rs:419-451`)."""
+    if _is_u8_data(letters):
+        data = _as_u8(letters)
+        lens_lut, codes_lut = huff_tree.encode_tables()
+        payload, padding = pack_codes_u8(data, lens_lut, codes_lut)
+        if not payload:
+            # reference panics via CompressData::new on empty comp_bytes
+            raise ValueError("provided comp_bytes are empty")
+        return CompressData(payload, padding, huff_tree, ltype or U8)
+    # generic-letter slow path: python bit append (mirrors comp.rs:424-447)
+    codes = huff_tree.read_codes()
+    value = 0
+    nbits = 0
+    for letter in letters:
+        code = codes.get(letter)
+        if code is None:
+            raise CompressError("letter not found in codes", letter)
+        value = (value << code.length) | code.value
+        nbits += code.length
+    padding = calc_padding_bits(nbits)
+    if nbits == 0:
+        raise ValueError("provided comp_bytes are empty")
+    payload = (value << padding).to_bytes((nbits + padding) // 8, "big")
+    return CompressData(payload, padding, huff_tree, ltype or _infer_ltype(letters))
+
+
+def _infer_ltype(letters) -> LetterType | str:
+    # best-effort: int letters default to u8-compatible widths only if they fit
+    try:
+        vals = [int(l) for l in letters]
+        if vals and all(0 <= v < 256 for v in vals):
+            return U8
+    except (TypeError, ValueError):
+        pass
+    return U8  # wire form only used when explicitly serialized
+
+
+def decompress(comp_data: CompressData) -> Union[bytes, List[Hashable]]:
+    """Decompress (`comp.rs:487-519`).
+
+    Returns ``bytes`` when all letters are u8 ints, else a list of letters.
+    """
+    tree = comp_data.huff_tree
+    all_u8 = all(
+        l is None or (isinstance(l, (int, np.integer)) and 0 <= l < 256)
+        for l in tree.letters
+    )
+    if all_u8:
+        return unpack_codes_u8(
+            comp_data.comp_bytes, comp_data.padding_bits, tree
+        )
+    # generic path: per-bit tree walk
+    out: List[Hashable] = []
+    left, right, letters = tree.left, tree.right, tree.letters
+    root = tree.root
+    node = root
+    payload = comp_data.comp_bytes
+    total_bits = len(payload) * 8 - comp_data.padding_bits
+    root_is_leaf = tree.is_leaf(root)
+    for i in range(total_bits):
+        if not root_is_leaf:
+            bit = (payload[i >> 3] >> (7 - (i & 7))) & 1
+            node = int(right[node] if bit else left[node])
+        if left[node] < 0:
+            out.append(letters[node])
+            node = root
+    return out
