@@ -1,0 +1,342 @@
+// huffc — native host runtime for the tpuhuff framework.
+//
+// C++ equivalents of the reference's Rust hot paths (the task environment has
+// no Rust toolchain), exposed through a plain C ABI consumed via ctypes:
+//
+//   * huffc_hist          — threaded byte histogram
+//                           (capability of ByteWeights::threaded_from_bytes,
+//                           /root/reference/huff_coding/src/weights.rs:293-319)
+//   * huffc_encode        — MSB-first variable-length bit packer
+//                           (comp.rs:419-451 semantics), multithreaded with
+//                           private buffers + shift-merge stitching (the
+//                           *correct* bit-carry the reference's CLI gets wrong
+//                           for padding ∉ {0,4}, SURVEY §2 quirk)
+//   * huffc_build_dfa     — byte-driven DFA tables from flat tree arrays
+//   * huffc_decode        — table-driven decoder, one lookup per 8 compressed
+//                           bits (replaces the per-bit pointer chase of
+//                           comp.rs:487-519)
+//   * huffc_decode_blocks — threaded decode over independent bit ranges
+//                           (the .hf2 parallel-decode path)
+//
+// Design notes: everything operates on flat arrays (no node graphs); all
+// bit order is MSB-first within bytes, matching BitVec<Msb0,u8>.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// histogram
+// ---------------------------------------------------------------------------
+static void hist_range(const uint8_t* data, uint64_t n, uint64_t* out256) {
+  // 4 sub-tables defeat store-to-load forwarding stalls on repeated bytes
+  uint64_t sub[4][256] = {{0}};
+  uint64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    sub[0][data[i]]++;
+    sub[1][data[i + 1]]++;
+    sub[2][data[i + 2]]++;
+    sub[3][data[i + 3]]++;
+  }
+  for (; i < n; ++i) sub[0][data[i]]++;
+  for (int b = 0; b < 256; ++b)
+    out256[b] = sub[0][b] + sub[1][b] + sub[2][b] + sub[3][b];
+}
+
+void huffc_hist(const uint8_t* data, uint64_t n, int num_threads,
+                uint64_t* out256) {
+  if (num_threads <= 1 || n < (1u << 20)) {
+    hist_range(data, n, out256);
+    return;
+  }
+  int t = num_threads;
+  std::vector<std::vector<uint64_t>> parts(t, std::vector<uint64_t>(256, 0));
+  std::vector<std::thread> threads;
+  uint64_t chunk = n / t;
+  for (int k = 0; k < t; ++k) {
+    uint64_t lo = k * chunk;
+    uint64_t hi = (k == t - 1) ? n : lo + chunk;
+    threads.emplace_back(
+        [&, k, lo, hi] { hist_range(data + lo, hi - lo, parts[k].data()); });
+  }
+  for (auto& th : threads) th.join();
+  std::memset(out256, 0, 256 * sizeof(uint64_t));
+  for (int k = 0; k < t; ++k)
+    for (int b = 0; b < 256; ++b) out256[b] += parts[k][b];
+}
+
+// ---------------------------------------------------------------------------
+// encode
+// ---------------------------------------------------------------------------
+static inline void store_be64(uint8_t* p, uint64_t v) {
+  v = __builtin_bswap64(v);
+  std::memcpy(p, &v, 8);
+}
+
+// Pack data[0..n) into `out` starting at bit 0 of out[0].  `out` must have
+// capacity for the stream plus 8 bytes of slack.  Returns bits written.
+static uint64_t encode_range(const uint8_t* data, uint64_t n,
+                             const uint8_t* len_lut, const uint64_t* code_lut,
+                             uint8_t* out) {
+  unsigned __int128 acc = 0;  // left-aligned pending bits
+  int nbits = 0;
+  uint8_t* p = out;
+  for (uint64_t i = 0; i < n; ++i) {
+    uint8_t b = data[i];
+    int len = len_lut[b];
+    acc |= ((unsigned __int128)code_lut[b]) << (128 - nbits - len);
+    nbits += len;
+    if (nbits >= 64) {
+      store_be64(p, (uint64_t)(acc >> 64));
+      p += 8;
+      acc <<= 64;
+      nbits -= 64;
+    }
+  }
+  uint64_t total = (uint64_t)(p - out) * 8 + nbits;
+  // flush the tail (zero-padded low bits)
+  while (nbits > 0) {
+    *p++ = (uint8_t)(acc >> 120);
+    acc <<= 8;
+    nbits -= 8;
+  }
+  return total;
+}
+
+// OR-copy `src` (src_bits long, starting at bit 0) into `dst` at bit offset
+// `dst_bit`.  dst bytes beyond the first touched byte must be zero.
+static void or_shift_copy(const uint8_t* src, uint64_t src_bits, uint8_t* dst,
+                          uint64_t dst_bit) {
+  uint8_t* d = dst + (dst_bit >> 3);
+  int shift = (int)(dst_bit & 7);
+  uint64_t src_bytes = (src_bits + 7) >> 3;
+  if (shift == 0) {
+    // byte-aligned: plain copy, but OR the first byte (seam)
+    if (src_bytes == 0) return;
+    d[0] |= src[0];
+    if (src_bytes > 1) std::memcpy(d + 1, src + 1, src_bytes - 1);
+    return;
+  }
+  // shifted: each src byte contributes to two dst bytes; the first dst byte
+  // OR-merges with the previous chunk's seam bits, the trailing carry byte is
+  // a plain store (next chunk will OR-merge into it)
+  d[0] |= (uint8_t)(src[0] >> shift);
+  uint8_t carry = (uint8_t)(src[0] << (8 - shift));
+  for (uint64_t i = 1; i < src_bytes; ++i) {
+    uint8_t s = src[i];
+    d[i] = (uint8_t)(carry | (s >> shift));
+    carry = (uint8_t)(s << (8 - shift));
+  }
+  d[src_bytes] = carry;
+}
+
+// Encode into `out` starting at `start_bit` (earlier bits of the first byte
+// are preserved/OR-merged; rest of out must be zeroed by the caller).
+// Returns total bits written (excluding start_bit) or -1 on overflow.
+int64_t huffc_encode(const uint8_t* data, uint64_t n, const uint8_t* len_lut,
+                     const uint64_t* code_lut, uint8_t* out, uint64_t out_cap,
+                     uint64_t start_bit, int num_threads) {
+  // exact output size via histogram dot lens
+  uint64_t hist[256];
+  huffc_hist(data, n, num_threads, hist);
+  uint64_t total_bits = 0;
+  for (int b = 0; b < 256; ++b) {
+    if (hist[b] && len_lut[b] == 0) return -2;  // letter not in codes
+    total_bits += hist[b] * (uint64_t)len_lut[b];
+  }
+  if ((start_bit + total_bits + 7) / 8 + 8 > out_cap) return -1;
+
+  if (num_threads <= 1 || n < (1u << 21)) {
+    if ((start_bit & 7) == 0) {
+      encode_range(data, n, len_lut, code_lut, out + (start_bit >> 3));
+    } else {
+      std::vector<uint8_t> tmp(total_bits / 8 + 16, 0);
+      encode_range(data, n, len_lut, code_lut, tmp.data());
+      or_shift_copy(tmp.data(), total_bits, out, start_bit);
+    }
+    return (int64_t)total_bits;
+  }
+
+  int t = num_threads;
+  uint64_t chunk = n / t;
+  // per-chunk bit offsets
+  std::vector<uint64_t> chunk_bits(t, 0), chunk_lo(t), chunk_hi(t);
+  std::vector<std::thread> threads;
+  for (int k = 0; k < t; ++k) {
+    chunk_lo[k] = k * chunk;
+    chunk_hi[k] = (k == t - 1) ? n : (k + 1) * chunk;
+  }
+  std::vector<std::vector<uint8_t>> bufs(t);
+  for (int k = 0; k < t; ++k)
+    threads.emplace_back([&, k] {
+      uint64_t len = chunk_hi[k] - chunk_lo[k];
+      uint64_t bits = 0;
+      for (uint64_t i = chunk_lo[k]; i < chunk_hi[k]; ++i)
+        bits += len_lut[data[i]];
+      bufs[k].assign(bits / 8 + 16, 0);
+      encode_range(data + chunk_lo[k], len, len_lut, code_lut, bufs[k].data());
+      chunk_bits[k] = bits;
+      (void)len;
+    });
+  for (auto& th : threads) th.join();
+  threads.clear();
+  // prefix offsets, then parallel shift-merge (seam bytes are touched by two
+  // neighbors; merge serially here since OR on the seam is not atomic)
+  std::vector<uint64_t> offs(t + 1);
+  offs[0] = start_bit;
+  for (int k = 0; k < t; ++k) offs[k + 1] = offs[k] + chunk_bits[k];
+  for (int k = 0; k < t; ++k)
+    or_shift_copy(bufs[k].data(), chunk_bits[k], out, offs[k]);
+  return (int64_t)total_bits;
+}
+
+// ---------------------------------------------------------------------------
+// DFA build
+// ---------------------------------------------------------------------------
+int32_t huffc_build_dfa(const int32_t* left, const int32_t* right,
+                        const int32_t* letter, int32_t n_nodes, int32_t root,
+                        int16_t* next_state, uint8_t* emit_count,
+                        uint8_t* emit_syms, int16_t* state_of_node) {
+  // states: internal nodes, root first then increasing node index
+  // (must match HuffTree.decode_dfa in tpuhuff/core/tree.py)
+  int32_t S = 0;
+  for (int32_t i = 0; i < n_nodes; ++i) state_of_node[i] = -1;
+  if (left[root] >= 0) state_of_node[root] = S++;
+  for (int32_t i = 0; i < n_nodes; ++i)
+    if (i != root && left[i] >= 0) state_of_node[i] = (int16_t)S++;
+  if (S == 0) return 0;
+  std::vector<int32_t> node_of_state(S);
+  for (int32_t i = 0; i < n_nodes; ++i)
+    if (state_of_node[i] >= 0) node_of_state[state_of_node[i]] = i;
+  for (int32_t s = 0; s < S; ++s) {
+    int32_t start = node_of_state[s];
+    for (int byte = 0; byte < 256; ++byte) {
+      int32_t node = start;
+      int count = 0;
+      uint64_t idx = (uint64_t)s * 256 + byte;
+      for (int bit_i = 7; bit_i >= 0; --bit_i) {
+        int bit = (byte >> bit_i) & 1;
+        node = bit ? right[node] : left[node];
+        if (left[node] < 0) {
+          emit_syms[idx * 8 + count] = (uint8_t)letter[node];
+          ++count;
+          node = root;
+        }
+      }
+      next_state[idx] = state_of_node[node];
+      emit_count[idx] = (uint8_t)count;
+    }
+  }
+  return S;
+}
+
+// ---------------------------------------------------------------------------
+// decode
+// ---------------------------------------------------------------------------
+// Decode the bit range [start_bit, end_bit) of `comp`.  Returns the number of
+// letters written, or -1 on out_cap overflow (bounds are exact: never writes
+// past out + out_cap, so adjacent output slots can be packed contiguously).
+int64_t huffc_decode(const uint8_t* comp, uint64_t start_bit, uint64_t end_bit,
+                     const int16_t* next_state, const uint8_t* emit_count,
+                     const uint8_t* emit_syms, const int32_t* left,
+                     const int32_t* right, const int32_t* letter,
+                     const int16_t* state_of_node, const int32_t* node_of_state,
+                     int32_t root, uint8_t* out, uint64_t out_cap) {
+  uint8_t* p = out;
+  uint8_t* out_end = out + out_cap;
+  // degenerate single-leaf tree: every bit emits the root letter
+  if (left[root] < 0) {
+    uint64_t count = end_bit - start_bit;
+    if (count > out_cap) return -1;
+    std::memset(out, (uint8_t)letter[root], count);
+    return (int64_t)count;
+  }
+  int32_t node = root;
+  uint64_t bit = start_bit;
+  // leading partial byte: per-bit walk
+  while (bit < end_bit && (bit & 7) != 0) {
+    int b = (comp[bit >> 3] >> (7 - (bit & 7))) & 1;
+    node = b ? right[node] : left[node];
+    if (left[node] < 0) {
+      if (p >= out_end) return -1;
+      *p++ = (uint8_t)letter[node];
+      node = root;
+    }
+    ++bit;
+  }
+  // full bytes: DFA, one lookup per byte, ≤8 letters emitted
+  int16_t state = state_of_node[node];
+  uint64_t n_full = (end_bit - bit) >> 3;
+  const uint8_t* cp = comp + (bit >> 3);
+  for (uint64_t i = 0; i < n_full; ++i) {
+    uint64_t idx = (uint64_t)state * 256 + cp[i];
+    int c = emit_count[idx];
+    if (p + 8 <= out_end) {
+      std::memcpy(p, emit_syms + idx * 8, 8);  // bulk 8, advance by c
+    } else {
+      if (p + c > out_end) return -1;
+      std::memcpy(p, emit_syms + idx * 8, (size_t)c);  // exact near slot end
+    }
+    p += c;
+    state = next_state[idx];
+  }
+  bit += n_full * 8;
+  // trailing partial byte: per-bit walk from the DFA's node
+  if (bit < end_bit) {
+    node = node_of_state[state];
+    while (bit < end_bit) {
+      int b = (comp[bit >> 3] >> (7 - (bit & 7))) & 1;
+      node = b ? right[node] : left[node];
+      if (left[node] < 0) {
+        if (p >= out_end) return -1;
+        *p++ = (uint8_t)letter[node];
+        node = root;
+      }
+      ++bit;
+    }
+  }
+  return (int64_t)(p - out);
+}
+
+// Threaded decode of `n_blocks` independent bit ranges into pre-assigned
+// output slots.  starts/ends in bits; out_offsets/out_caps in bytes.
+// Returns 0 on success; on failure, the index of the failing block minus
+// INT32_MIN... (negative block error: -(block_index+1)).
+int64_t huffc_decode_blocks(
+    const uint8_t* comp, const uint64_t* start_bits, const uint64_t* end_bits,
+    int64_t n_blocks, const int16_t* next_state, const uint8_t* emit_count,
+    const uint8_t* emit_syms, const int32_t* left, const int32_t* right,
+    const int32_t* letter, const int16_t* state_of_node,
+    const int32_t* node_of_state, int32_t root, uint8_t* out,
+    const uint64_t* out_offsets, const uint64_t* out_caps,
+    uint64_t* out_lens, int num_threads) {
+  std::atomic<int64_t> next_block(0);
+  std::atomic<int64_t> failed(-1);
+  auto worker = [&] {
+    for (;;) {
+      int64_t k = next_block.fetch_add(1);
+      if (k >= n_blocks || failed.load() >= 0) break;
+      int64_t r = huffc_decode(comp, start_bits[k], end_bits[k], next_state,
+                               emit_count, emit_syms, left, right, letter,
+                               state_of_node, node_of_state, root,
+                               out + out_offsets[k], out_caps[k]);
+      if (r < 0) {
+        failed.store(k);
+        break;
+      }
+      out_lens[k] = (uint64_t)r;
+    }
+  };
+  int t = num_threads > 1 ? num_threads : 1;
+  std::vector<std::thread> threads;
+  for (int k = 0; k < t; ++k) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  int64_t f = failed.load();
+  return f >= 0 ? -(f + 1) : 0;
+}
+
+}  // extern "C"

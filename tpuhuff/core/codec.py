@@ -39,6 +39,16 @@ BytesLike = Union[bytes, bytearray, memoryview, np.ndarray]
 _PACK_CHUNK = 1 << 20
 
 
+def _native():
+    """The C++ runtime if it built successfully, else None (numpy fallback)."""
+    try:
+        from .. import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def _is_u8_data(letters) -> bool:
     return isinstance(letters, (bytes, bytearray, memoryview)) or (
         isinstance(letters, np.ndarray) and letters.dtype == np.uint8
@@ -112,6 +122,18 @@ def unpack_codes_u8(
         # degenerate single-letter tree: every payload bit emits the letter
         # (`comp.rs:506-509` — walker is at a leaf already for every bit)
         return bytes([int(tree.letters[tree.root])]) * nbits
+    nat = _native()
+    if nat is not None:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        tables = nat.build_dfa(tree)
+        # letters <= payload bits (every code >= 1 bit): nbits is a hard cap.
+        # Try a typical-ratio buffer first to avoid a huge allocation, retry
+        # at the hard cap if the stream expands more than 4x.
+        guess = min(nbits, max(4 * len(payload), 1 << 20))
+        try:
+            return nat.decode(arr, 0, nbits, tables, guess)
+        except RuntimeError:
+            return nat.decode(arr, 0, nbits, tables, nbits)
     next_state, emit_count, emit_syms, _ = tree.decode_dfa()
     out = bytearray()
     state = 0
@@ -166,7 +188,15 @@ def compress_with_tree(
     if _is_u8_data(letters):
         data = _as_u8(letters)
         lens_lut, codes_lut = huff_tree.encode_tables()
-        payload, padding = pack_codes_u8(data, lens_lut, codes_lut)
+        nat = _native()
+        if nat is not None:
+            try:
+                payload, padding = nat.encode(data, lens_lut, codes_lut)
+            except CompressError:
+                # re-raise via the numpy path, which names the missing letter
+                payload, padding = pack_codes_u8(data, lens_lut, codes_lut)
+        else:
+            payload, padding = pack_codes_u8(data, lens_lut, codes_lut)
         if not payload:
             # reference panics via CompressData::new on empty comp_bytes
             raise ValueError("provided comp_bytes are empty")

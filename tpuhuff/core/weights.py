@@ -98,8 +98,17 @@ class ByteWeights:
     # -- construction ------------------------------------------------------
     @classmethod
     def from_bytes(cls, data: BytesLike) -> "ByteWeights":
-        """Count bytes (`weights.rs:265-279`), vectorized via bincount."""
+        """Count bytes (`weights.rs:265-279`): threaded C++ histogram when the
+        native runtime is up (np.bincount casts u8→intp and crawls), else
+        bincount."""
         arr = _as_u8_array(data)
+        try:
+            from .. import native
+
+            if arr.size >= (1 << 16) and native.available():
+                return cls(native.hist(arr))
+        except Exception:
+            pass
         return cls(np.bincount(arr, minlength=256).astype(np.int64))
 
     # `threaded_from_bytes` (`weights.rs:293-319`) exists for API parity; a

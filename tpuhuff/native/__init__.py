@@ -1,0 +1,265 @@
+"""ctypes bindings to the C++ host runtime (``cpp/huffc.cpp``).
+
+The native library is built lazily on first use (no pip/pybind needed — plain
+``g++ -shared`` + ctypes).  Every entry point has a numpy fallback in
+:mod:`tpuhuff.core`, so the framework works without a compiler; with it, the
+host paths run at memory-bandwidth-class speed:
+
+* :func:`hist`          — threaded byte histogram
+* :func:`encode`        — threaded MSB-first bit packer (exact
+  `comp.rs:419-451` semantics incl. padding)
+* :func:`build_dfa`     — byte-driven DFA tables from flat tree arrays
+* :func:`decode`        — table decode of a bit range
+* :func:`decode_blocks` — threaded decode over independent bit ranges
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "hist",
+    "encode",
+    "build_dfa",
+    "decode",
+    "decode_blocks",
+    "DfaTables",
+    "num_threads",
+]
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CPP_DIR = os.path.join(_REPO_ROOT, "cpp")
+_LIB_PATH = os.path.join(_CPP_DIR, "libhuffc.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+_i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+
+def num_threads() -> int:
+    return max(1, os.cpu_count() or 1)
+
+
+def _build() -> bool:
+    src = os.path.join(_CPP_DIR, "huffc.cpp")
+    if not os.path.exists(src):
+        return False
+    for extra in ("-march=native", ""):
+        cmd = ["g++", "-O3", "-fPIC", "-shared", "-pthread", "-funroll-loops"]
+        if extra:
+            cmd.append(extra)
+        cmd += ["-o", _LIB_PATH, src]
+        try:
+            r = subprocess.run(cmd, capture_output=True, timeout=120)
+            if r.returncode == 0:
+                return True
+        except (OSError, subprocess.TimeoutExpired):
+            return False
+    return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        src = os.path.join(_CPP_DIR, "huffc.cpp")
+        stale = not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if stale and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        _declare(lib)
+        _lib = lib
+        return _lib
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    lib.huffc_hist.argtypes = [_u8p, ctypes.c_uint64, ctypes.c_int, _u64p]
+    lib.huffc_hist.restype = None
+    lib.huffc_encode.argtypes = [
+        _u8p, ctypes.c_uint64, _u8p, _u64p,
+        _u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.huffc_encode.restype = ctypes.c_int64
+    lib.huffc_build_dfa.argtypes = [
+        _i32p, _i32p, _i32p, ctypes.c_int32, ctypes.c_int32,
+        _i16p, _u8p, _u8p, _i16p,
+    ]
+    lib.huffc_build_dfa.restype = ctypes.c_int32
+    lib.huffc_decode.argtypes = [
+        _u8p, ctypes.c_uint64, ctypes.c_uint64,
+        _i16p, _u8p, _u8p, _i32p, _i32p, _i32p, _i16p, _i32p,
+        ctypes.c_int32, _u8p, ctypes.c_uint64,
+    ]
+    lib.huffc_decode.restype = ctypes.c_int64
+    lib.huffc_decode_blocks.argtypes = [
+        _u8p, _u64p, _u64p, ctypes.c_int64,
+        _i16p, _u8p, _u8p, _i32p, _i32p, _i32p, _i16p, _i32p,
+        ctypes.c_int32, _u8p, _u64p, _u64p, _u64p, ctypes.c_int,
+    ]
+    lib.huffc_decode_blocks.restype = ctypes.c_int64
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# high-level wrappers
+# ---------------------------------------------------------------------------
+def hist(data: np.ndarray, threads: int | None = None) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.zeros(256, dtype=np.uint64)
+    lib.huffc_hist(data, data.size, threads or num_threads(), out)
+    return out.astype(np.int64)
+
+
+def encode(
+    data: np.ndarray,
+    lens_lut: np.ndarray,
+    codes_lut: np.ndarray,
+    threads: int | None = None,
+) -> Tuple[bytes, int]:
+    """Pack to an MSB-first bitstream; returns (payload, padding_bits)."""
+    lib = _load()
+    assert lib is not None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    lens_lut = np.ascontiguousarray(lens_lut, dtype=np.uint8)
+    codes_lut = np.ascontiguousarray(codes_lut, dtype=np.uint64)
+    max_len = int(lens_lut.max()) if lens_lut.size else 0
+    cap = (data.size * max(max_len, 1) + 7) // 8 + 16
+    out = np.zeros(cap, dtype=np.uint8)
+    r = int(lib.huffc_encode(data, data.size, lens_lut, codes_lut, out, cap, 0,
+                             threads or num_threads()))
+    if r == -2:
+        from ..core.format import CompressError
+        raise CompressError("letter not found in codes", None)
+    if r < 0:
+        raise RuntimeError(f"huffc_encode failed: {r}")
+    nbytes = (r + 7) // 8
+    return out[:nbytes].tobytes(), (8 - r % 8) % 8
+
+
+class DfaTables:
+    """Byte-driven DFA decode tables for a tree (native layout)."""
+
+    __slots__ = (
+        "next_state", "emit_count", "emit_syms", "state_of_node",
+        "node_of_state", "left", "right", "letter", "root", "num_states",
+    )
+
+    def __init__(self, tree) -> None:
+        lib = _load()
+        assert lib is not None
+        left, right, letter = tree.node_arrays()
+        self.left = np.ascontiguousarray(left, dtype=np.int32)
+        self.right = np.ascontiguousarray(right, dtype=np.int32)
+        self.letter = np.ascontiguousarray(letter, dtype=np.int32)
+        self.root = int(tree.root)
+        n = self.left.size
+        n_internal = int(np.count_nonzero(self.left >= 0))
+        S = max(n_internal, 1)
+        self.next_state = np.zeros((S, 256), dtype=np.int16)
+        self.emit_count = np.zeros((S, 256), dtype=np.uint8)
+        self.emit_syms = np.zeros((S, 256, 8), dtype=np.uint8)
+        self.state_of_node = np.zeros(n, dtype=np.int16)
+        self.num_states = int(
+            lib.huffc_build_dfa(
+                self.left, self.right, self.letter, n, self.root,
+                self.next_state.reshape(-1), self.emit_count.reshape(-1),
+                self.emit_syms.reshape(-1), self.state_of_node,
+            )
+        )
+        self.node_of_state = np.zeros(max(self.num_states, 1), dtype=np.int32)
+        for node, s in enumerate(self.state_of_node):
+            if s >= 0:
+                self.node_of_state[s] = node
+
+
+def decode(
+    comp: np.ndarray, start_bit: int, end_bit: int, tables: DfaTables,
+    out_cap: int,
+) -> bytes:
+    lib = _load()
+    assert lib is not None
+    comp = np.ascontiguousarray(comp, dtype=np.uint8)
+    out = np.empty(out_cap, dtype=np.uint8)
+    r = int(
+        lib.huffc_decode(
+            comp, start_bit, end_bit,
+            tables.next_state.reshape(-1), tables.emit_count.reshape(-1),
+            tables.emit_syms.reshape(-1), tables.left, tables.right,
+            tables.letter, tables.state_of_node, tables.node_of_state,
+            tables.root, out, out_cap,
+        )
+    )
+    if r < 0:
+        raise RuntimeError(f"huffc_decode failed: {r}")
+    return out[:r].tobytes()
+
+
+def decode_blocks(
+    comp: np.ndarray,
+    start_bits: np.ndarray,
+    end_bits: np.ndarray,
+    tables: DfaTables,
+    out_offsets: np.ndarray,
+    out_caps: np.ndarray,
+    threads: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode independent bit ranges in parallel.
+
+    Returns ``(out_buffer, out_lens)`` where block ``k``'s letters are at
+    ``out_buffer[out_offsets[k] : out_offsets[k] + out_lens[k]]``.
+    """
+    lib = _load()
+    assert lib is not None
+    comp = np.ascontiguousarray(comp, dtype=np.uint8)
+    start_bits = np.ascontiguousarray(start_bits, dtype=np.uint64)
+    end_bits = np.ascontiguousarray(end_bits, dtype=np.uint64)
+    out_offsets = np.ascontiguousarray(out_offsets, dtype=np.uint64)
+    out_caps = np.ascontiguousarray(out_caps, dtype=np.uint64)
+    total = int(out_offsets[-1] + out_caps[-1]) if out_caps.size else 0
+    out = np.empty(total, dtype=np.uint8)
+    out_lens = np.zeros(start_bits.size, dtype=np.uint64)
+    r = int(
+        lib.huffc_decode_blocks(
+            comp, start_bits, end_bits, start_bits.size,
+            tables.next_state.reshape(-1), tables.emit_count.reshape(-1),
+            tables.emit_syms.reshape(-1), tables.left, tables.right,
+            tables.letter, tables.state_of_node, tables.node_of_state,
+            tables.root, out, out_offsets, out_caps, out_lens,
+            threads or num_threads(),
+        )
+    )
+    if r != 0:
+        raise RuntimeError(f"huffc_decode_blocks failed on block {-r - 1}")
+    return out, out_lens
+
+
+def build_dfa(tree) -> DfaTables:
+    return DfaTables(tree)
