@@ -21,6 +21,7 @@
 // Design notes: everything operates on flat arrays (no node graphs); all
 // bit order is MSB-first within bytes, matching BitVec<Msb0,u8>.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -114,24 +115,32 @@ static void or_shift_copy(const uint8_t* src, uint64_t src_bits, uint8_t* dst,
   uint8_t* d = dst + (dst_bit >> 3);
   int shift = (int)(dst_bit & 7);
   uint64_t src_bytes = (src_bits + 7) >> 3;
+  // Boundary bytes (the first and last byte a bitstream touches) may be
+  // shared with the adjacent bitstream, in EITHER write order (the threaded
+  // stitcher writes blocks out of order), so they must OR-merge; interior
+  // bytes are exclusively owned and use plain stores.  A zero carry is
+  // skipped entirely: the OR would be a no-op but its read-modify-write
+  // could race with the genuine writer of that byte on another thread.
+  if (src_bytes == 0) return;
   if (shift == 0) {
-    // byte-aligned: plain copy, but OR the first byte (seam)
-    if (src_bytes == 0) return;
     d[0] |= src[0];
-    if (src_bytes > 1) std::memcpy(d + 1, src + 1, src_bytes - 1);
+    if (src_bytes > 2) std::memcpy(d + 1, src + 1, src_bytes - 2);
+    if (src_bytes > 1) d[src_bytes - 1] |= src[src_bytes - 1];
     return;
   }
-  // shifted: each src byte contributes to two dst bytes; the first dst byte
-  // OR-merges with the previous chunk's seam bits, the trailing carry byte is
-  // a plain store (next chunk will OR-merge into it)
   d[0] |= (uint8_t)(src[0] >> shift);
   uint8_t carry = (uint8_t)(src[0] << (8 - shift));
-  for (uint64_t i = 1; i < src_bytes; ++i) {
+  for (uint64_t i = 1; i + 1 < src_bytes; ++i) {
     uint8_t s = src[i];
     d[i] = (uint8_t)(carry | (s >> shift));
     carry = (uint8_t)(s << (8 - shift));
   }
-  d[src_bytes] = carry;
+  if (src_bytes > 1) {
+    uint8_t s = src[src_bytes - 1];
+    d[src_bytes - 1] |= (uint8_t)(carry | (s >> shift));
+    carry = (uint8_t)(s << (8 - shift));
+  }
+  if (carry) d[src_bytes] |= carry;
 }
 
 // Encode into `out` starting at `start_bit` (earlier bits of the first byte
@@ -337,6 +346,60 @@ int64_t huffc_decode_blocks(
   for (auto& th : threads) th.join();
   int64_t f = failed.load();
   return f >= 0 ? -(f + 1) : 0;
+}
+
+
+// OR-copy a single bit range (exported for host-side stitching).
+void huffc_or_copy(const uint8_t* src, uint64_t src_bits, uint8_t* dst,
+                   uint64_t dst_bit) {
+  or_shift_copy(src, src_bits, dst, dst_bit);
+}
+
+// Stitch n_blocks bitstreams (rows of `srcs`, row stride `row_bytes`, row k
+// holding bit_lens[k] bits) into `dst` starting at start_bit.  The correct
+// bit-carry concat of the block outputs — what the reference CLI's seek-back
+// stitch should have been (huff/src/comp.rs:187-226, SURVEY §2 quirk).
+// dst must be zeroed; returns total bits, or -1 if dst_cap (bytes) too small.
+int64_t huffc_stitch_blocks(const uint8_t* srcs, uint64_t row_bytes,
+                            const uint64_t* bit_lens, int64_t n_blocks,
+                            uint8_t* dst, uint64_t dst_cap, uint64_t start_bit,
+                            int num_threads) {
+  std::vector<uint64_t> offs((size_t)n_blocks + 1);
+  offs[0] = start_bit;
+  for (int64_t k = 0; k < n_blocks; ++k) offs[k + 1] = offs[k] + bit_lens[k];
+  uint64_t total = offs[n_blocks];
+  if ((total + 7) / 8 + 1 > dst_cap) return -1;
+  int t = num_threads > 1 ? num_threads : 1;
+  if (t == 1 || n_blocks < 4) {
+    for (int64_t k = 0; k < n_blocks; ++k)
+      if (bit_lens[k])
+        or_shift_copy(srcs + (uint64_t)k * row_bytes, bit_lens[k], dst, offs[k]);
+    return (int64_t)(total - start_bit);
+  }
+  // Parallel: every byte write is either to a block's exclusive interior or
+  // an OR into a seam byte shared by exactly two ADJACENT blocks.  A thread
+  // owns a contiguous run of blocks, so the only cross-thread seams are at
+  // run boundaries; those boundary blocks are stitched serially afterwards.
+  std::vector<std::thread> threads;
+  int64_t per = (n_blocks + t - 1) / t;
+  for (int w = 0; w < t; ++w) {
+    int64_t lo = (int64_t)w * per, hi = std::min<int64_t>(lo + per, n_blocks);
+    if (lo >= hi) continue;
+    threads.emplace_back([&, lo, hi] {
+      for (int64_t k = lo + 1; k < hi; ++k)
+        if (bit_lens[k])
+          or_shift_copy(srcs + (uint64_t)k * row_bytes, bit_lens[k], dst,
+                        offs[k]);
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int w = 0; w < t; ++w) {
+    int64_t lo = (int64_t)w * per;
+    if (lo < n_blocks && bit_lens[lo])
+      or_shift_copy(srcs + (uint64_t)lo * row_bytes, bit_lens[lo], dst,
+                    offs[lo]);
+  }
+  return (int64_t)(total - start_bit);
 }
 
 }  // extern "C"

@@ -1,0 +1,106 @@
+"""Mesh / shard_map pipeline tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import tpuhuff
+from tpuhuff.dist import (
+    compress_sharded,
+    encode_pipeline,
+    make_mesh,
+    pad_to_blocks,
+    sharded_histogram,
+    stitch_words,
+)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_pad_to_blocks():
+    data = np.arange(1000, dtype=np.uint8)
+    blocks, valid, n = pad_to_blocks(data, 256, 8)
+    assert n == 1000
+    assert blocks.shape == (8, 256)
+    assert valid.tolist() == [256, 256, 256, 232, 0, 0, 0, 0]
+
+
+def test_sharded_histogram_matches_host():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, 100_000, dtype=np.uint8)
+    mesh = make_mesh()
+    blocks, valid, _ = pad_to_blocks(data, 4096, mesh.devices.size)
+    counts = sharded_histogram(
+        jax.numpy.asarray(blocks), jax.numpy.asarray(valid), mesh
+    )
+    assert np.array_equal(counts, np.bincount(data, minlength=256))
+
+
+@pytest.mark.parametrize("n", [5000, 65536, 200_001])
+def test_compress_sharded_bit_identical(n):
+    # the sharded device pipeline must produce the same bytes as the host path
+    rng = np.random.default_rng(n)
+    data = rng.integers(0, 200, n, dtype=np.uint8).tobytes()
+    host = tpuhuff.compress(data)
+    dev = compress_sharded(data, block_len=4096)
+    assert dev.comp_bytes == host.comp_bytes
+    assert dev.padding_bits == host.padding_bits
+    assert dev.to_bytes() == host.to_bytes()
+    assert tpuhuff.decompress(dev) == data
+
+
+def test_compress_sharded_text():
+    text = (b"the quick brown fox jumps over the lazy dog " * 3000)
+    host = tpuhuff.compress(text)
+    dev = compress_sharded(text, block_len=8192)
+    assert dev.to_bytes() == host.to_bytes()
+
+
+def test_stitch_words_matches_bigint():
+    rng = np.random.default_rng(1)
+    words = rng.integers(0, 2**32, (5, 8), dtype=np.uint64).astype(np.uint32)
+    bits = np.array([256, 13, 0, 250, 31], dtype=np.uint64)
+    # mask unused bits to zero (contract of the encode kernel)
+    for b in range(5):
+        nb = int(bits[b])
+        row = words[b]
+        for w in range(8):
+            lo = w * 32
+            keep = min(max(nb - lo, 0), 32)
+            mask = (0xFFFFFFFF << (32 - keep)) & 0xFFFFFFFF if keep else 0
+            row[w] &= np.uint32(mask)
+    payload, pad = stitch_words(words, bits)
+    # big-int reference
+    value, total = 0, 0
+    for b in range(5):
+        nb = int(bits[b])
+        chunk = int.from_bytes(words[b].astype(">u4").tobytes(), "big") >> (256 - nb) if nb else 0
+        value = (value << nb) | chunk
+        total += nb
+    expect = (value << pad).to_bytes((total + pad) // 8, "big")
+    assert payload == expect
+
+
+def test_encode_pipeline_shapes():
+    data = np.random.default_rng(2).integers(0, 50, 10_000, dtype=np.uint8)
+    words, bits, tree, orig = encode_pipeline(data, block_len=1024)
+    assert orig == 10_000
+    assert words.shape[0] == bits.shape[0]
+    assert words.shape[0] % 8 == 0  # multiple of mesh size
+    # trailing all-padding blocks emit zero bits
+    assert bits[-1] == 0 or words.shape[0] * 1024 - 10_000 < 1024
+
+
+def test_multihost_single_process_degenerates():
+    from tpuhuff.dist.multihost import compress_multihost, host_shard_range, is_coordinator
+
+    assert is_coordinator()
+    lo, hi = host_shard_range(10_000, 1024)
+    assert (lo, hi) == (0, 10_000)
+    data = np.random.default_rng(3).integers(0, 99, 5000, dtype=np.uint8)
+    words, bits, tree, orig = compress_multihost(data, block_len=512)
+    payload, pad = stitch_words(words, bits)
+    host = tpuhuff.compress(data.tobytes())
+    assert payload == host.comp_bytes and pad == host.padding_bits

@@ -1,0 +1,132 @@
+"""Device kernel tests (CPU backend): bit-parity with the host codec."""
+
+import numpy as np
+import pytest
+
+from tpuhuff import ByteWeights, HuffTree
+from tpuhuff.core.codec import pack_codes_u8
+from tpuhuff.kernels import (
+    block_bit_lengths,
+    encode_blocks,
+    histogram,
+    make_encode_tables,
+    words_to_payload,
+)
+
+
+def _tree_for(data):
+    return HuffTree.from_weights(ByteWeights.from_bytes(data))
+
+
+def test_histogram_matches_bincount():
+    rng = np.random.default_rng(0)
+    for n in (1, 100, 65536):
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+        h = np.asarray(histogram(data))
+        assert np.array_equal(h, np.bincount(data, minlength=256)), n
+
+
+def test_histogram_chunked(monkeypatch):
+    # force the multi-chunk path with a small chunk size
+    import tpuhuff.kernels.histogram as hk
+
+    monkeypatch.setattr(hk, "_CHUNK", 1 << 14)
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, (1 << 15) + 999, dtype=np.uint8)
+    h = np.asarray(hk.histogram(data))
+    assert np.array_equal(h, np.bincount(data, minlength=256))
+
+
+@pytest.mark.parametrize("alphabet", [2, 37, 256])
+@pytest.mark.parametrize("n", [64, 4096])
+def test_encode_blocks_bit_parity(alphabet, n):
+    rng = np.random.default_rng(n * alphabet)
+    data = rng.integers(0, alphabet, n, dtype=np.uint8)
+    tree = _tree_for(data)
+    lens, codes = tree.encode_tables()
+    dl, da = make_encode_tables(lens, codes)
+    words, bits = encode_blocks(data[None, :], dl, da)
+    ref_payload, ref_pad = pack_codes_u8(data, lens, codes)
+    total_bits = len(ref_payload) * 8 - ref_pad
+    assert int(bits[0]) == total_bits
+    assert words_to_payload(np.asarray(words[0]), int(bits[0])) == ref_payload
+
+
+def test_encode_blocks_batched():
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 100, (8, 1024), dtype=np.uint8)
+    tree = _tree_for(data.reshape(-1))
+    lens, codes = tree.encode_tables()
+    dl, da = make_encode_tables(lens, codes)
+    words, bits = encode_blocks(data, dl, da)
+    for b in range(8):
+        ref_payload, ref_pad = pack_codes_u8(data[b], lens, codes)
+        assert int(bits[b]) == len(ref_payload) * 8 - ref_pad
+        assert words_to_payload(np.asarray(words[b]), int(bits[b])) == ref_payload
+
+
+def test_block_bit_lengths():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, (4, 512), dtype=np.uint8)
+    tree = _tree_for(data.reshape(-1))
+    lens, codes = tree.encode_tables()
+    dl, _ = make_encode_tables(lens, codes)
+    bl = np.asarray(block_bit_lengths(data, dl))
+    expect = lens[data].astype(np.int64).sum(axis=1)
+    assert np.array_equal(bl, expect)
+
+
+def test_zero_len_sentinel_padding():
+    # bytes with LUT len 0 contribute no bits — used to pad ragged blocks
+    data = np.array([[1, 2, 1, 200, 200, 200, 200, 200]], dtype=np.uint8)
+    tree = _tree_for(np.array([1, 2, 1], dtype=np.uint8))
+    lens, codes = tree.encode_tables()
+    assert lens[200] == 0
+    dl, da = make_encode_tables(lens, codes)
+    words, bits = encode_blocks(data, dl, da)
+    ref_payload, ref_pad = pack_codes_u8(np.array([1, 2, 1], dtype=np.uint8), lens, codes)
+    assert int(bits[0]) == len(ref_payload) * 8 - ref_pad
+    assert words_to_payload(np.asarray(words[0]), int(bits[0])) == ref_payload
+
+
+def test_single_symbol_blocks():
+    data = np.zeros((2, 256), dtype=np.uint8)
+    tree = _tree_for(data.reshape(-1))
+    lens, codes = tree.encode_tables()
+    dl, da = make_encode_tables(lens, codes)
+    words, bits = encode_blocks(data, dl, da)
+    assert int(bits[0]) == 256  # code "0", 1 bit per byte
+    assert words_to_payload(np.asarray(words[0]), 256) == b"\x00" * 32
+
+
+def test_max_len_32_codes():
+    # fib weights → 23-deep tree still packs exactly
+    n = 24
+    fib = [1, 1]
+    for _ in range(n - 2):
+        fib.append(fib[-1] + fib[-2])
+    counts = np.zeros(256, dtype=np.int64)
+    counts[:n] = fib
+    tree = HuffTree.from_weights(ByteWeights(counts))
+    lens, codes = tree.encode_tables()
+    assert int(lens.max()) == n - 1
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, n, 2048, dtype=np.uint8)
+    dl, da = make_encode_tables(lens, codes)
+    words, bits = encode_blocks(data[None], dl, da)
+    ref_payload, ref_pad = pack_codes_u8(data, lens, codes)
+    assert words_to_payload(np.asarray(words[0]), int(bits[0])) == ref_payload
+    assert int(bits[0]) == len(ref_payload) * 8 - ref_pad
+
+
+def test_over_32bit_codes_rejected():
+    n = 40
+    fib = [1, 1]
+    for _ in range(n - 2):
+        fib.append(fib[-1] + fib[-2])
+    counts = np.zeros(256, dtype=np.int64)
+    counts[:n] = fib
+    tree = HuffTree.from_weights(ByteWeights(counts))
+    lens, codes = tree.encode_tables()
+    with pytest.raises(OverflowError):
+        make_encode_tables(lens, codes)

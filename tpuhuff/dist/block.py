@@ -1,0 +1,122 @@
+"""Block-parallel encode pipeline under ``shard_map``.
+
+The TPU-native version of the reference CLI's two-pass streaming compress
+(`/root/reference/huff/src/comp.rs:32-74`):
+
+* pass 1 — per-chip histograms of the local blocks, merged with a single
+  ``psum`` over the mesh (ICI), replacing the thread-join+add merge
+  (`weights.rs:306-318`).  The tree itself is built on host from the 256
+  counts (O(k log k), k<=256 — microseconds, `tree_inner.rs:289-303`).
+* pass 2 — every chip packs its blocks with the broadcast LUTs
+  (:func:`tpuhuff.kernels.encode_blocks`); per-block bit lengths come back
+  with the words, and the host (or the ``.hf2`` writer) does the ordered
+  bit-carry concatenation — correctly, unlike the reference's seek-back
+  stitch (`huff/src/comp.rs:196-201`, SURVEY §2 quirk).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..kernels.encode import encode_blocks, make_encode_tables
+from ..kernels.histogram import histogram
+from .mesh import BLOCK_AXIS, make_mesh
+
+__all__ = [
+    "sharded_histogram",
+    "sharded_encode",
+    "encode_pipeline",
+    "pad_to_blocks",
+]
+
+
+def pad_to_blocks(
+    data: np.ndarray, block_len: int, n_shards: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Reshape a byte stream to (B, block_len), B a multiple of n_shards.
+
+    Returns ``(blocks, valid_lens, orig_len)``; ``valid_lens[b]`` is the
+    number of real bytes in block b (padding bytes beyond it are masked out
+    by the encode kernel, so they emit no bits and no histogram counts are
+    taken from them).
+    """
+    n = data.size
+    blocks = max(1, -(-n // block_len))
+    blocks = -(-blocks // n_shards) * n_shards
+    padded = np.zeros(blocks * block_len, dtype=np.uint8)
+    padded[:n] = data
+    valid = np.clip(n - np.arange(blocks, dtype=np.int64) * block_len, 0, block_len)
+    return padded.reshape(blocks, block_len), valid.astype(np.int32), n
+
+
+def _hist_shard(local: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    h = histogram(local)
+    # padding bytes are 0-valued; subtract their count so the tree sees only
+    # real data (the analogue of hashing only what was read,
+    # huff/src/comp.rs:167-169)
+    pad = jnp.sum(jnp.int32(local.shape[-1]) - valid)
+    h = h.at[0].add(-pad)
+    return jax.lax.psum(h, BLOCK_AXIS)
+
+
+def sharded_histogram(
+    blocks: jnp.ndarray, valid_lens: jnp.ndarray, mesh: Mesh
+) -> np.ndarray:
+    """Global 256-bin histogram of (B, N) blocks sharded over the mesh."""
+    fn = jax.shard_map(
+        _hist_shard, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)), out_specs=P(),
+    )
+    return np.asarray(jax.jit(fn)(blocks, valid_lens))
+
+
+def sharded_encode(
+    blocks: jnp.ndarray, valid_lens: jnp.ndarray, lens_lut, acodes_lut,
+    mesh: Mesh,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack (B, N) blocks data-parallel; returns (words (B, N), bits (B,))."""
+
+    def shard(local, valid, ll, al):
+        return encode_blocks(local, ll, al, valid)
+
+    fn = jax.shard_map(
+        shard,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(), P()),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+    )
+    return jax.jit(fn)(blocks, valid_lens, lens_lut, acodes_lut)
+
+
+def encode_pipeline(
+    data: np.ndarray,
+    block_len: int = 65536,
+    mesh: Mesh | None = None,
+) -> Tuple[np.ndarray, np.ndarray, "object", int]:
+    """Full two-pass pipeline: psum histogram -> host tree -> sharded pack.
+
+    Returns ``(words (B, N) u32, bit_lens (B,), tree, orig_len)``.
+    """
+    from ..core.tree import HuffTree
+    from ..core.weights import ByteWeights
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_shards = mesh.devices.size
+    blocks, valid, orig_len = pad_to_blocks(
+        np.asarray(data, dtype=np.uint8).ravel(), block_len, n_shards
+    )
+    jblocks = jnp.asarray(blocks)
+    jvalid = jnp.asarray(valid)
+    counts = sharded_histogram(jblocks, jvalid, mesh).astype(np.int64)
+    tree = HuffTree.from_weights(ByteWeights(counts))
+    lens, codes = tree.encode_tables()
+    dl, da = make_encode_tables(lens, codes)
+    words, bits = sharded_encode(jblocks, jvalid, dl, da, mesh)
+    return np.asarray(words), np.asarray(bits), tree, orig_len

@@ -1,0 +1,154 @@
+"""Device encode: vectorized Huffman bit-packing in JAX/XLA.
+
+The TPU-native replacement for the reference's bit-serial shift/or loop
+(`/root/reference/huff_coding/src/comp.rs:424-451`).  No gathers, no
+scatters, no data-dependent control flow — the pack is a **doubling
+bit-merge**:
+
+1.  LUT: each byte maps to ``(acode, len)`` where ``acode`` is the codeword
+    left-aligned in a u32 (``code << (32 - len)``) — dense tables derived
+    from the tree (`HuffTree.encode_tables`).
+2.  Treat every symbol as a bit-string ``(value_words, bit_len)``.
+    Concatenation of two bit-strings is ``A | (B >> len_A)`` — associative.
+    ``log2(N)`` pairwise-merge levels turn N symbols into one packed block.
+3.  The per-row dynamic right-shift by ``len_A`` bits decomposes into a
+    word-granularity shift (select tree over the bits of ``len_A >> 5``,
+    static slices only) and an elementwise bit shift with carry
+    (``(x >> r) | (x_prev << (32 - r))`` — VPU-native, per-row shift
+    amounts broadcast).
+
+Everything is (B, ...) batched over blocks, so the same function runs
+per-chip under ``shard_map`` (SURVEY §2 parallelism table: the CLI's
+sequential block loop becomes a data-parallel grid).
+
+Output: ``(words, bit_lens)`` — per block a u32 word array (MSB-first bit
+order, big-endian byte order) and the exact bit length.  Host stitches
+blocks with the correct bit-carry (`tpuhuff.native`/`core.bits`), or the
+``.hf2`` container records the offsets for parallel decode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "encode_blocks",
+    "make_encode_tables",
+    "words_to_payload",
+    "block_bit_lengths",
+]
+
+
+def make_encode_tables(lens_lut: np.ndarray, codes_lut: np.ndarray):
+    """Dense device LUTs from ``HuffTree.encode_tables`` output.
+
+    Returns ``(lens i32[256], acodes u32[256])`` with codes left-aligned to
+    bit 31.  Codes longer than 32 bits are rejected (the host C++ path
+    handles those pathological trees; > 32-bit codes require ~fib(32) ≈ 2M
+    adversarial symbol counts).
+    """
+    lens = np.asarray(lens_lut, dtype=np.int64)
+    codes = np.asarray(codes_lut, dtype=np.uint64)
+    if lens.max(initial=0) > 32:
+        raise OverflowError("device encoder supports code lengths <= 32 bits")
+    acodes = (codes << (32 - lens).astype(np.uint64))[lens > 0]
+    full = np.zeros(256, dtype=np.uint64)
+    full[lens > 0] = acodes
+    return (
+        jnp.asarray(lens.astype(np.int32)),
+        jnp.asarray((full & 0xFFFFFFFF).astype(np.uint32)),
+    )
+
+
+def _shift_right_bits(vals: jnp.ndarray, shift: jnp.ndarray, out_w: int) -> jnp.ndarray:
+    """Shift bit-strings right (toward later stream positions).
+
+    ``vals``: (..., W) u32 word arrays, MSB-first bit semantics.
+    ``shift``: (...,) i32 bit counts in [0, 32*W].
+    Returns (..., out_w) with each row's bits moved ``shift`` later.
+    """
+    W = vals.shape[-1]
+    pad = [(0, 0)] * (vals.ndim - 1) + [(0, out_w - W)]
+    x = jnp.pad(vals, pad)
+    q = (shift >> 5).astype(jnp.int32)
+    r = (shift & 31).astype(jnp.uint32)
+    # word-granularity shift: select tree over the bits of q (static slices)
+    maxq = W  # shift <= 32*W  =>  q <= W
+    step = 1
+    while step <= maxq:
+        rolled = jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (step,), x.dtype), x[..., :-step]], axis=-1
+        )
+        x = jnp.where(((q >> int(np.log2(step))) & 1)[..., None] == 1, rolled, x)
+        step *= 2
+    # bit-granularity shift with cross-word carry
+    rr = r[..., None]
+    prev = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), x.dtype), x[..., :-1]], axis=-1
+    )
+    lo = jnp.where(rr == 0, jnp.uint32(0), prev << ((jnp.uint32(32) - rr) & 31))
+    return (x >> rr) | lo
+
+
+def _merge_level(vals: jnp.ndarray, lens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One doubling level: concat adjacent bit-string pairs."""
+    B = vals.shape[0]
+    n, W = vals.shape[-2], vals.shape[-1]
+    A = vals[..., 0::2, :]
+    Bv = vals[..., 1::2, :]
+    la = lens[..., 0::2]
+    lb = lens[..., 1::2]
+    shifted = _shift_right_bits(Bv, la, 2 * W)
+    A_ext = jnp.pad(A, [(0, 0)] * (vals.ndim - 2) + [(0, 0), (0, W)])
+    return A_ext | shifted, la + lb
+
+
+@functools.partial(jax.jit, static_argnames=("block_len",))
+def encode_blocks(
+    data: jnp.ndarray, lens_lut: jnp.ndarray, acodes_lut: jnp.ndarray,
+    valid_lens: jnp.ndarray | None = None,
+    block_len: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack blocks of bytes into Huffman bitstreams.
+
+    ``data``: (B, N) uint8 with N a power of two.  ``valid_lens`` (B,) marks
+    the real prefix of each block — bytes past it are padding and contribute
+    no bits (ragged tails of a stream reshaped to fixed blocks).  Returns
+    ``(words (B, N) uint32, bit_lens (B,))``.  Symbols with LUT length 0
+    also contribute nothing (the "missing letter" case is checked on host).
+    """
+    if data.ndim == 1:
+        data = data[None, :]
+    B, N = data.shape
+    if block_len is not None:
+        assert N == block_len
+    assert N & (N - 1) == 0, "block length must be a power of two"
+    lens = jnp.take(lens_lut, data.astype(jnp.int32), axis=0)
+    acodes = jnp.take(acodes_lut, data.astype(jnp.int32), axis=0)
+    if valid_lens is not None:
+        mask = jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None]
+        lens = jnp.where(mask, lens, 0)
+        acodes = jnp.where(mask, acodes, jnp.uint32(0))
+    vals = acodes[..., None]  # (B, N, 1)
+    cur = lens
+    while vals.shape[-2] > 1:
+        vals, cur = _merge_level(vals, cur)
+    return vals[..., 0, :], cur[..., 0]
+
+
+def block_bit_lengths(data: jnp.ndarray, lens_lut: jnp.ndarray) -> jnp.ndarray:
+    """Exact per-block bit lengths (cheap pre-pass for allocation/offsets)."""
+    lens = jnp.take(lens_lut, data.astype(jnp.int32), axis=0)
+    return jnp.sum(lens, axis=-1)
+
+
+def words_to_payload(words: np.ndarray, bit_len: int) -> bytes:
+    """Convert one block's u32 words (MSB-first) to the byte payload."""
+    nbytes = (int(bit_len) + 7) // 8
+    raw = np.asarray(words).astype(">u4").tobytes()
+    return raw[:nbytes]

@@ -30,6 +30,7 @@ __all__ = [
     "build_dfa",
     "decode",
     "decode_blocks",
+    "stitch_blocks",
     "DfaTables",
     "num_threads",
 ]
@@ -120,6 +121,13 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.c_int32, _u8p, _u64p, _u64p, _u64p, ctypes.c_int,
     ]
     lib.huffc_decode_blocks.restype = ctypes.c_int64
+    lib.huffc_or_copy.argtypes = [_u8p, ctypes.c_uint64, _u8p, ctypes.c_uint64]
+    lib.huffc_or_copy.restype = None
+    lib.huffc_stitch_blocks.argtypes = [
+        _u8p, ctypes.c_uint64, _u64p, ctypes.c_int64,
+        _u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.huffc_stitch_blocks.restype = ctypes.c_int64
 
 
 def available() -> bool:
@@ -263,3 +271,27 @@ def decode_blocks(
 
 def build_dfa(tree) -> DfaTables:
     return DfaTables(tree)
+
+
+def stitch_blocks(
+    rows: np.ndarray, bit_lens: np.ndarray, threads: int | None = None
+) -> Tuple[bytes, int]:
+    """Bit-carry concat of block bitstreams (rows (B, row_bytes) uint8,
+    MSB-first).  Returns ``(payload, padding_bits)``."""
+    lib = _load()
+    assert lib is not None
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    bit_lens = np.ascontiguousarray(bit_lens, dtype=np.uint64)
+    total = int(bit_lens.sum())
+    cap = total // 8 + 16
+    out = np.zeros(cap, dtype=np.uint8)
+    r = int(
+        lib.huffc_stitch_blocks(
+            rows.reshape(-1), rows.shape[1] if rows.ndim == 2 else rows.size,
+            bit_lens, bit_lens.size, out, cap, 0, threads or num_threads(),
+        )
+    )
+    if r < 0:
+        raise RuntimeError("huffc_stitch_blocks overflow")
+    nbytes = (total + 7) // 8
+    return out[:nbytes].tobytes(), (8 - total % 8) % 8
