@@ -209,7 +209,8 @@ int64_t huffc_encode(const uint8_t* data, uint64_t n, const uint8_t* len_lut,
 int32_t huffc_build_dfa(const int32_t* left, const int32_t* right,
                         const int32_t* letter, int32_t n_nodes, int32_t root,
                         int16_t* next_state, uint8_t* emit_count,
-                        uint8_t* emit_syms, int16_t* state_of_node) {
+                        uint8_t* emit_syms, uint8_t* last_emit_bit,
+                        int16_t* state_of_node) {
   // states: internal nodes, root first then increasing node index
   // (must match HuffTree.decode_dfa in tpuhuff/core/tree.py)
   int32_t S = 0;
@@ -227,6 +228,7 @@ int32_t huffc_build_dfa(const int32_t* left, const int32_t* right,
       int32_t node = start;
       int count = 0;
       uint64_t idx = (uint64_t)s * 256 + byte;
+      uint8_t last_bit = 255;  // bit index (0=MSB) of the last emit, if any
       for (int bit_i = 7; bit_i >= 0; --bit_i) {
         int bit = (byte >> bit_i) & 1;
         node = bit ? right[node] : left[node];
@@ -234,10 +236,12 @@ int32_t huffc_build_dfa(const int32_t* left, const int32_t* right,
           emit_syms[idx * 8 + count] = (uint8_t)letter[node];
           ++count;
           node = root;
+          last_bit = (uint8_t)(7 - bit_i);
         }
       }
       next_state[idx] = state_of_node[node];
       emit_count[idx] = (uint8_t)count;
+      last_emit_bit[idx] = last_bit;
     }
   }
   return S;
@@ -251,17 +255,20 @@ int32_t huffc_build_dfa(const int32_t* left, const int32_t* right,
 // past out + out_cap, so adjacent output slots can be packed contiguously).
 int64_t huffc_decode(const uint8_t* comp, uint64_t start_bit, uint64_t end_bit,
                      const int16_t* next_state, const uint8_t* emit_count,
-                     const uint8_t* emit_syms, const int32_t* left,
-                     const int32_t* right, const int32_t* letter,
-                     const int16_t* state_of_node, const int32_t* node_of_state,
-                     int32_t root, uint8_t* out, uint64_t out_cap) {
+                     const uint8_t* emit_syms, const uint8_t* last_emit_bit,
+                     const int32_t* left, const int32_t* right,
+                     const int32_t* letter, const int16_t* state_of_node,
+                     const int32_t* node_of_state, int32_t root, uint8_t* out,
+                     uint64_t out_cap, uint64_t* resume_bit) {
   uint8_t* p = out;
   uint8_t* out_end = out + out_cap;
+  uint64_t last_emit_end = start_bit;  // bit just past the last emitted code
   // degenerate single-leaf tree: every bit emits the root letter
   if (left[root] < 0) {
     uint64_t count = end_bit - start_bit;
     if (count > out_cap) return -1;
     std::memset(out, (uint8_t)letter[root], count);
+    if (resume_bit) *resume_bit = end_bit;
     return (int64_t)count;
   }
   int32_t node = root;
@@ -291,6 +298,7 @@ int64_t huffc_decode(const uint8_t* comp, uint64_t start_bit, uint64_t end_bit,
       std::memcpy(p, emit_syms + idx * 8, (size_t)c);  // exact near slot end
     }
     p += c;
+    if (c) last_emit_end = bit + i * 8 + last_emit_bit[idx] + 1;
     state = next_state[idx];
   }
   bit += n_full * 8;
@@ -304,10 +312,12 @@ int64_t huffc_decode(const uint8_t* comp, uint64_t start_bit, uint64_t end_bit,
         if (p >= out_end) return -1;
         *p++ = (uint8_t)letter[node];
         node = root;
+        last_emit_end = bit + 1;
       }
       ++bit;
     }
   }
+  if (resume_bit) *resume_bit = last_emit_end;
   return (int64_t)(p - out);
 }
 
@@ -318,10 +328,10 @@ int64_t huffc_decode(const uint8_t* comp, uint64_t start_bit, uint64_t end_bit,
 int64_t huffc_decode_blocks(
     const uint8_t* comp, const uint64_t* start_bits, const uint64_t* end_bits,
     int64_t n_blocks, const int16_t* next_state, const uint8_t* emit_count,
-    const uint8_t* emit_syms, const int32_t* left, const int32_t* right,
-    const int32_t* letter, const int16_t* state_of_node,
-    const int32_t* node_of_state, int32_t root, uint8_t* out,
-    const uint64_t* out_offsets, const uint64_t* out_caps,
+    const uint8_t* emit_syms, const uint8_t* last_emit_bit,
+    const int32_t* left, const int32_t* right, const int32_t* letter,
+    const int16_t* state_of_node, const int32_t* node_of_state, int32_t root,
+    uint8_t* out, const uint64_t* out_offsets, const uint64_t* out_caps,
     uint64_t* out_lens, int num_threads) {
   std::atomic<int64_t> next_block(0);
   std::atomic<int64_t> failed(-1);
@@ -330,9 +340,10 @@ int64_t huffc_decode_blocks(
       int64_t k = next_block.fetch_add(1);
       if (k >= n_blocks || failed.load() >= 0) break;
       int64_t r = huffc_decode(comp, start_bits[k], end_bits[k], next_state,
-                               emit_count, emit_syms, left, right, letter,
-                               state_of_node, node_of_state, root,
-                               out + out_offsets[k], out_caps[k]);
+                               emit_count, emit_syms, last_emit_bit, left,
+                               right, letter, state_of_node, node_of_state,
+                               root, out + out_offsets[k], out_caps[k],
+                               nullptr);
       if (r < 0) {
         failed.store(k);
         break;

@@ -27,9 +27,12 @@ def test_histogram_matches_bincount():
 
 
 def test_histogram_chunked(monkeypatch):
-    # force the multi-chunk path with a small chunk size
-    import tpuhuff.kernels.histogram as hk
+    # force the multi-chunk path with a small chunk size.  (import the module
+    # via importlib: the package re-exports the `histogram` FUNCTION under
+    # the same name, shadowing the submodule attribute.)
+    import importlib
 
+    hk = importlib.import_module("tpuhuff.kernels.histogram")
     monkeypatch.setattr(hk, "_CHUNK", 1 << 14)
     rng = np.random.default_rng(1)
     data = rng.integers(0, 256, (1 << 15) + 999, dtype=np.uint8)

@@ -1,0 +1,147 @@
+"""Streaming file codec tests: .hff round-trips at every block size, .hf2."""
+
+import os
+
+import numpy as np
+import pytest
+
+import tpuhuff
+from tpuhuff.io import (
+    read_compress_write,
+    read_compress_write_hf2,
+    read_decompress_write,
+    read_decompress_write_hf2,
+    read_hf2_header,
+)
+from tpuhuff.io.stream import StreamError, _BitSink
+
+
+@pytest.fixture
+def tmpfiles(tmp_path):
+    def make(data: bytes):
+        src = tmp_path / "src.bin"
+        src.write_bytes(data)
+        return str(src), str(tmp_path / "out.hff"), str(tmp_path / "back.bin")
+
+    return make
+
+
+def _roundtrip(make, data, block_size, **kw):
+    src, hff, back = make(data)
+    read_compress_write(src, hff, block_size, **kw)
+    read_decompress_write(hff, back, block_size)
+    assert open(back, "rb").read() == data
+    return hff
+
+
+def test_hff_matches_in_memory_container(tmpfiles):
+    # a single-block .hff file must equal the in-memory container bytes
+    data = b"abbccc"
+    hff = _roundtrip(tmpfiles, data, 2_000_000_000)
+    assert open(hff, "rb").read() == tpuhuff.compress(data).to_bytes()
+
+
+@pytest.mark.parametrize("block_size", [1, 2, 3, 7, 64, 1000, 10**9])
+def test_hff_multiblock_roundtrip(tmpfiles, block_size):
+    # multi-block stitching must be exact for EVERY padding value (the
+    # reference's own carry is broken for padding not in {0,4} — ours is not)
+    rng = np.random.default_rng(block_size)
+    data = rng.integers(0, 11, 997, dtype=np.uint8).tobytes()
+    _roundtrip(tmpfiles, data, block_size)
+
+
+def test_hff_multiblock_equals_singleblock(tmpfiles):
+    # stream output is independent of block size (single whole-file tree)
+    data = np.random.default_rng(1).integers(0, 200, 5000, dtype=np.uint8).tobytes()
+    src, hff, back = tmpfiles(data)
+    read_compress_write(src, hff, 10**9)
+    one = open(hff, "rb").read()
+    for bs in (17, 256, 4999):
+        read_compress_write(src, hff, bs)
+        assert open(hff, "rb").read() == one, bs
+
+
+def test_hff_large_streaming(tmpfiles):
+    data = np.random.default_rng(2).integers(0, 256, 3_000_000, dtype=np.uint8).tobytes()
+    _roundtrip(tmpfiles, data, 1_000_000)
+
+
+def test_hff_single_letter_file(tmpfiles):
+    _roundtrip(tmpfiles, b"a" * 1000, 100)
+
+
+def test_hff_empty_file_panics(tmpfiles):
+    src, hff, _ = tmpfiles(b"")
+    with pytest.raises(ValueError, match="provided empty weights"):
+        read_compress_write(src, hff, 100)
+
+
+def test_hff_header_errors(tmp_path):
+    bad = tmp_path / "bad.hff"
+    bad.write_bytes(b"\x00\x00")
+    with pytest.raises(StreamError) as e:
+        read_decompress_write(str(bad), str(tmp_path / "x"), 100)
+    assert e.value.kind == "MissingHeaderInfo"
+    bad.write_bytes(b"\x99\x00\x00\x00\x02\xff\xff\xff")
+    with pytest.raises(StreamError) as e:
+        read_decompress_write(str(bad), str(tmp_path / "x"), 100)
+    assert e.value.kind == "InvalidHeaderInfo"
+
+
+def test_bitsink_exact():
+    import io as _io
+
+    buf = _io.BytesIO()
+    sink = _BitSink(buf)
+    # "101" + "0110011" + "1" = 11 bits
+    sink.write(bytes([0b10100000]), 3)
+    sink.write(bytes([0b01100110]), 7)
+    sink.write(bytes([0b10000000]), 1)
+    pad = sink.flush()
+    assert pad == 5
+    assert buf.getvalue() == bytes([0b10101100, 0b11100000])
+
+
+@pytest.mark.parametrize("n", [1, 100, 65536, 300_000])
+def test_hf2_roundtrip(tmpfiles, n):
+    rng = np.random.default_rng(n)
+    data = rng.integers(0, 60, n, dtype=np.uint8).tobytes()
+    src, _, back = tmpfiles(data)
+    hf2 = src + ".hf2"
+    read_compress_write_hf2(src, hf2, block_len=4096)
+    read_decompress_write_hf2(hf2, back)
+    assert open(back, "rb").read() == data
+
+
+def test_hf2_header_fields(tmpfiles):
+    data = b"hello hf2 " * 1000
+    src, _, _ = tmpfiles(data)
+    hf2 = src + ".hf2"
+    read_compress_write_hf2(src, hf2, block_len=1024)
+    with open(hf2, "rb") as fp:
+        hdr = read_hf2_header(fp)
+    assert hdr.orig_len == len(data)
+    assert hdr.block_len == 1024
+    assert hdr.num_blocks == -(-len(data) // 1024)
+    assert (np.diff(hdr.end_bits.astype(np.int64)) > 0).all()
+
+
+def test_hf2_device_path_matches_host(tmpfiles):
+    data = np.random.default_rng(9).integers(0, 100, 20_000, dtype=np.uint8).tobytes()
+    src, _, back = tmpfiles(data)
+    read_compress_write_hf2(src, src + ".a.hf2", block_len=2048, device=False)
+    read_compress_write_hf2(src, src + ".b.hf2", block_len=2048, device=True)
+    assert open(src + ".a.hf2", "rb").read() == open(src + ".b.hf2", "rb").read()
+    read_decompress_write_hf2(src + ".b.hf2", back)
+    assert open(back, "rb").read() == data
+
+
+def test_device_hff_stream_matches_host(tmpfiles):
+    data = np.random.default_rng(4).integers(0, 50, 10_000, dtype=np.uint8).tobytes()
+    src, hff, back = tmpfiles(data)
+    read_compress_write(src, hff, 10**9, device=False)
+    host_bytes = open(hff, "rb").read()
+    read_compress_write(src, hff, 10**9, device=True)
+    assert open(hff, "rb").read() == host_bytes
+    read_decompress_write(hff, back, 10**9)
+    assert open(back, "rb").read() == data

@@ -1,0 +1,177 @@
+"""CLI: compress/decompress SRC_FILE into DST_FILE.hff (compress by default).
+
+Flag-for-flag compatible with the reference ``huff`` binary
+(`/root/reference/huff/res/cli.yml:1-39`, `huff/src/cli.rs:132-162`):
+
+* ``-d/--decompress`` ``-t/--time`` ``-r/--replace`` ``-n/--noask``
+* ``-b/--block-size SIZE`` with K/M/G and Ki/Mi/Gi suffixes (default 2G)
+* ``SRC_FILE`` positional; ``DST_FILE`` defaults to ``./SRC_FILE.hff``
+* path rules: compress appends ``.hff`` to the destination
+  (`cli.rs:40-54`); decompress requires the ``.hff`` extension and strips
+  it when no destination is given (`cli.rs:55-76`)
+* interactive overwrite prompt unless ``-n`` (`cli.rs:116-130`)
+
+tpuhuff extensions: ``--hf2`` (block-indexed container, parallel decode),
+``--device`` (route packing through the TPU kernels), ``--stats``
+(ratio/GB/s/block count — SURVEY §5 observability), ``--threads``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+__all__ = ["main", "parse_block_size", "CliError"]
+
+EXTENSION = "hff"
+EXTENSION2 = "hf2"
+
+
+class CliError(ValueError):
+    def __init__(self, message: str, kind: str = "InvalidInput"):
+        super().__init__(message)
+        self.kind = kind
+
+
+def parse_block_size(text: str) -> int:
+    """K/M/G + Ki/Mi/Gi suffix parser (`huff/src/cli.rs:79-114`)."""
+    lowered = text.lower()
+    num = ""
+    i = 0
+    while i < len(lowered) and lowered[i].isdigit():
+        num += lowered[i]
+        i += 1
+    mult_str = lowered[i:]
+    try:
+        value = int(num)
+    except ValueError:
+        raise CliError("Invalid block size")
+    if value == 0:
+        raise CliError("Invalid block size")
+    mults = {
+        "": 1,
+        "k": 1_000, "m": 1_000_000, "g": 1_000_000_000,
+        "ki": 1024, "mi": 1_048_576, "gi": 1_073_741_824,
+    }
+    if mult_str not in mults:
+        raise CliError("Invalid block size")
+    return value * mults[mult_str]
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="huff",
+        description="Compress/decompress SRC_FILE into DST_FILE.hff "
+        "(compress by default)",
+    )
+    p.add_argument("-d", "--decompress", action="store_true",
+                   help="Decompresses the hff SRC_FILE into DST_FILE")
+    p.add_argument("-t", "--time", action="store_true",
+                   help="Prints how long it took to finish")
+    p.add_argument("-r", "--replace", action="store_true",
+                   help="Deletes SRC_FILE upon completion")
+    p.add_argument("-n", "--noask", action="store_true",
+                   help="Omits asking if existing DST_FILE should be replaced")
+    p.add_argument("-b", "--block-size", default="2G", metavar="SIZE",
+                   help="Set how many bytes can be loaded from the file at "
+                   "one time (units: K/Ki M/Mi G/Gi; default 2G)")
+    p.add_argument("--hf2", action="store_true",
+                   help="Use the block-indexed .hf2 container "
+                   "(enables parallel/TPU decode)")
+    p.add_argument("--device", action="store_true",
+                   help="Route block packing through the JAX/TPU kernels")
+    p.add_argument("--threads", type=int, default=None,
+                   help="Host decode/stitch threads (default: all cores)")
+    p.add_argument("--stats", action="store_true",
+                   help="Print ratio / throughput / block count")
+    p.add_argument("SRC_FILE")
+    p.add_argument("DST_FILE", nargs="?", default="./SRC_FILE.hff")
+    return p
+
+
+def _resolve_paths(args, ext: str):
+    """Path munging per `huff/src/cli.rs:24-77`."""
+    src = args.SRC_FILE
+    dst = args.DST_FILE
+    if dst == "./SRC_FILE.hff":  # the literal default marker (cli.yml:39)
+        dst = os.path.join(".", os.path.basename(src))
+    if os.path.isdir(src):
+        raise CliError(f"{src!r} is a directory", "NotFile")
+    if args.decompress:
+        src_ext = os.path.splitext(src)[1].lstrip(".")
+        if src_ext != ext:
+            raise CliError(
+                f"Unrecognized file format, expected {ext}", "UnrecognizedFormat"
+            )
+        if os.path.abspath(dst) == os.path.abspath(os.path.join(".", src)):
+            dst = os.path.splitext(dst)[0]
+        if os.path.isdir(dst):
+            raise CliError(f"Destination {dst!r} is a directory", "NotFile")
+    else:
+        dst = dst + "." + ext
+    return src, dst
+
+
+def _ask_replace(path: str, noask: bool) -> bool:
+    """Overwrite prompt (`huff/src/cli.rs:116-130`); True = proceed."""
+    if os.path.exists(path) and not noask:
+        sys.stdout.write(
+            f"{path!r} already exists, do you want to replace it? [Y/N]: "
+        )
+        sys.stdout.flush()
+        answer = sys.stdin.readline()
+        if not answer.lower().startswith("y"):
+            return False
+        print()
+    return True
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    start = time.perf_counter()
+    try:
+        block_size = parse_block_size(args.block_size)
+        ext = EXTENSION2 if args.hf2 else EXTENSION
+        src, dst = _resolve_paths(args, ext)
+        if not os.path.exists(src):
+            raise CliError(f"{src!r}: no such file", "Io")
+        if not _ask_replace(dst, args.noask):
+            return 0
+        from ..io import stream
+
+        if args.decompress:
+            if args.hf2:
+                stream.read_decompress_write_hf2(src, dst, threads=args.threads)
+            else:
+                stream.read_decompress_write(src, dst, block_size)
+        else:
+            if args.hf2:
+                stream.read_compress_write_hf2(src, dst, device=args.device)
+            else:
+                stream.read_compress_write(src, dst, block_size,
+                                           device=args.device)
+        if args.replace:
+            os.remove(src)
+    except (CliError, ValueError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    elapsed = time.perf_counter() - start
+    if args.stats:
+        in_size = os.path.getsize(dst if args.replace else src)
+        out_size = os.path.getsize(dst)
+        big = max(in_size, out_size)
+        print(
+            f"{in_size} -> {out_size} bytes "
+            f"(ratio {out_size / max(in_size, 1):.4f}), "
+            f"{big / max(elapsed, 1e-9) / 1e9:.3f} GB/s, "
+            f"block size {block_size}"
+        )
+    if args.time:
+        print(f"{elapsed:.6f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,23 @@
+"""Streaming file IO: .hff (reference-compatible) and .hf2 (block-indexed)."""
+
+from .hff import Hf2Header, read_hf2_header, write_hf2
+from .stream import (
+    StreamError,
+    huff_tree_from_stream,
+    read_compress_write,
+    read_compress_write_hf2,
+    read_decompress_write,
+    read_decompress_write_hf2,
+)
+
+__all__ = [
+    "Hf2Header",
+    "read_hf2_header",
+    "write_hf2",
+    "StreamError",
+    "huff_tree_from_stream",
+    "read_compress_write",
+    "read_compress_write_hf2",
+    "read_decompress_write",
+    "read_decompress_write_hf2",
+]

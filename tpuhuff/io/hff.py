@@ -1,0 +1,119 @@
+"""``.hff`` file header plumbing + the ``.hf2`` parallel container.
+
+``.hff`` — the reference CLI's on-disk format (`/root/reference/huff/src/
+comp.rs:54-70`, `huff/README.md:55-65`), identical to the in-memory
+container (:mod:`tpuhuff.core.format`):
+
+```
+byte 0     : (tree_padding << 4) | data_padding      (patched after pass 2)
+bytes 1..5 : u32 BE tree byte length
+bytes 5..  : tree bits, then payload bits
+```
+
+``.hf2`` — tpuhuff's block-indexed container for parallel decode.  The
+reference format carries no block boundaries, forcing bit-serial decode
+(SURVEY §5 "Checkpoint/resume": add per-block offsets for parallel
+decode).  ``.hf2`` wraps the same tree encoding plus a block table:
+
+```
+bytes 0..4   : magic "HF2\\x01"
+byte  4     : flags (bit0: tree is canonical)
+bytes 5..9   : u32 BE tree byte length T
+byte  9     : tree padding bits
+bytes 10..18 : u64 BE original data length
+bytes 18..22 : u32 BE block length (bytes of input per block)
+bytes 22..26 : u32 BE number of blocks B
+bytes 26..26+8B : u64 BE end-bit offset of each block within the payload
+bytes ..+T   : tree bits (zero-padded)
+bytes ..     : payload (all block bitstreams bit-concatenated, zero-padded)
+```
+
+End-bit offsets (cumulative) rather than lengths so a decoder can seek any
+block with one read.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import BinaryIO, Tuple
+
+import numpy as np
+
+from ..core.bits import BitString, calc_padding_bits
+from ..core.tree import HuffTree
+
+__all__ = ["HFF_MAGIC_NONE", "HF2_MAGIC", "Hf2Header", "write_hf2", "read_hf2_header"]
+
+HFF_MAGIC_NONE = b""  # .hff has no magic — format is positional
+HF2_MAGIC = b"HF2\x01"
+
+
+@dataclass
+class Hf2Header:
+    tree: HuffTree
+    canonical: bool
+    orig_len: int
+    block_len: int
+    end_bits: np.ndarray  # (B,) uint64 cumulative end-bit offsets
+    payload_offset: int   # file offset where payload bytes start
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.end_bits.size)
+
+    @property
+    def total_bits(self) -> int:
+        return int(self.end_bits[-1]) if self.end_bits.size else 0
+
+
+def write_hf2(
+    fp: BinaryIO,
+    tree: HuffTree,
+    orig_len: int,
+    block_len: int,
+    end_bits: np.ndarray,
+    payload: bytes,
+    canonical: bool = False,
+) -> None:
+    tree_bin = tree.as_bin()
+    tree_padding = calc_padding_bits(len(tree_bin))
+    tree_bytes = tree_bin.to_bytes()
+    fp.write(HF2_MAGIC)
+    fp.write(bytes([1 if canonical else 0]))
+    fp.write(struct.pack(">I", len(tree_bytes)))
+    fp.write(bytes([tree_padding]))
+    fp.write(struct.pack(">Q", orig_len))
+    fp.write(struct.pack(">I", block_len))
+    end = np.ascontiguousarray(end_bits, dtype=np.uint64)
+    fp.write(struct.pack(">I", end.size))
+    fp.write(end.astype(">u8").tobytes())
+    fp.write(tree_bytes)
+    fp.write(payload)
+
+
+def read_hf2_header(fp: BinaryIO) -> Hf2Header:
+    magic = fp.read(4)
+    if magic != HF2_MAGIC:
+        raise ValueError("not an hf2 file (bad magic)")
+    flags = fp.read(1)[0]
+    (tree_len,) = struct.unpack(">I", fp.read(4))
+    tree_padding = fp.read(1)[0]
+    (orig_len,) = struct.unpack(">Q", fp.read(8))
+    (block_len,) = struct.unpack(">I", fp.read(4))
+    (n_blocks,) = struct.unpack(">I", fp.read(4))
+    end_bits = np.frombuffer(fp.read(8 * n_blocks), dtype=">u8").astype(np.uint64)
+    tree_bytes = fp.read(tree_len)
+    if len(tree_bytes) != tree_len:
+        raise ValueError("hf2: truncated tree")
+    tree = HuffTree.try_from_bin(
+        BitString.from_bytes(tree_bytes, tree_len * 8 - tree_padding)
+    )
+    return Hf2Header(
+        tree=tree,
+        canonical=bool(flags & 1),
+        orig_len=orig_len,
+        block_len=block_len,
+        end_bits=end_bits,
+        payload_offset=fp.tell(),
+    )

@@ -1,0 +1,388 @@
+"""Streaming file compress/decompress (bounded memory, ``.hff`` + ``.hf2``).
+
+Capability match for L4 of the reference (`/root/reference/huff/src/comp.rs`):
+
+* :func:`read_compress_write` — the two-pass scheme (`comp.rs:32-74`):
+  pass 1 streams the file into a histogram and builds ONE whole-file tree
+  (`comp.rs:46,161-172`); pass 2 re-reads, packs each block, and stitches
+  blocks at the bit level.  Unlike the reference's seek-back stitch — whose
+  carry shift is wrong for padding ∉ {0,4} (`comp.rs:199`, SURVEY §2
+  quirk) — the carry here is exact for every block size, while remaining
+  byte-identical to the reference wherever the reference itself is correct
+  (single-block files, i.e. any file < block_size).
+* :func:`read_decompress_write` — streamed decode (`comp.rs:79-157`) with
+  code-straddling chunk boundaries handled by resume offsets (the analogue
+  of the reference's persistent walker state, `comp.rs:240`).
+* :func:`read_compress_write_hf2` / :func:`read_decompress_write_hf2` —
+  the block-indexed container: same tree + payload, plus per-block bit
+  offsets enabling parallel (threaded / TPU) decode.
+
+Encode backend: C++ native when available, numpy otherwise; ``device=True``
+routes block packing through the JAX kernels.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+from ..core.bits import calc_padding_bits
+from ..core.codec import pack_codes_u8, unpack_codes_u8
+from ..core.format import CompressError
+from ..core.tree import HuffTree
+from ..core.weights import ByteWeights
+from .hff import read_hf2_header, write_hf2
+
+__all__ = [
+    "read_compress_write",
+    "read_decompress_write",
+    "read_compress_write_hf2",
+    "read_decompress_write_hf2",
+    "huff_tree_from_stream",
+    "StreamError",
+]
+
+DEFAULT_BLOCK = 2_000_000_000  # reference default block-size "2G" (cli.yml:31)
+_CHUNK = 64 << 20  # streaming granularity independent of the logical block
+
+
+class StreamError(ValueError):
+    """Header/stream errors (reference `huff/src/error.rs:9-26` kinds)."""
+
+    def __init__(self, message: str, kind: str = "Io"):
+        super().__init__(message)
+        self.kind = kind
+
+
+def _native():
+    try:
+        from .. import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
+def huff_tree_from_stream(fp: BinaryIO, size: int, block_size: int) -> HuffTree:
+    """Pass 1: histogram the whole stream, build the file tree
+    (`huff/src/comp.rs:161-172`)."""
+    bw = ByteWeights()
+    left = size
+    step = min(block_size, _CHUNK)
+    while left > 0:
+        chunk = fp.read(min(step, left))
+        if not chunk:
+            break
+        bw += ByteWeights.from_bytes(chunk)
+        left -= len(chunk)
+    return HuffTree.from_weights(bw)
+
+
+def _encode_chunk(data: np.ndarray, lens_lut, codes_lut, nat) -> tuple[bytes, int]:
+    """Pack one chunk; returns (payload, total_bits)."""
+    if nat is not None:
+        payload, pad = nat.encode(data, lens_lut, codes_lut)
+    else:
+        payload, pad = pack_codes_u8(data, lens_lut, codes_lut)
+    return payload, len(payload) * 8 - pad
+
+
+class _BitSink:
+    """Write a bitstream to a file through byte-aligned chunks, carrying the
+    partial byte between writes (the correct version of the reference's
+    seek-back-and-OR, `huff/src/comp.rs:196-201`)."""
+
+    def __init__(self, fp: BinaryIO):
+        self.fp = fp
+        self.partial = 0  # current partial byte value (high bits occupied)
+        self.partial_bits = 0
+        self.total_bits = 0
+
+    def write(self, payload: bytes, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.total_bits += nbits
+        if self.partial_bits == 0:
+            full, rem = divmod(nbits, 8)
+            self.fp.write(payload[:full])
+            if rem:
+                self.partial = payload[full]
+                self.partial_bits = rem
+            return
+        # shift payload right by partial_bits and OR into the partial byte
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        s = self.partial_bits
+        shifted = (arr >> s).astype(np.uint8)
+        shifted |= np.concatenate(
+            [np.uint8([self.partial]), (arr[:-1] << (8 - s)).astype(np.uint8)]
+        )
+        carry = int(arr[-1] << (8 - s)) & 0xFF
+        total = s + nbits
+        full, rem = divmod(total, 8)
+        stream = shifted.tobytes() + bytes([carry])
+        self.fp.write(stream[:full])
+        self.partial = stream[full] if rem else 0
+        self.partial_bits = rem
+
+    def flush(self) -> int:
+        """Write the final partial byte; returns data padding bits."""
+        if self.partial_bits:
+            self.fp.write(bytes([self.partial]))
+        pad = calc_padding_bits(self.total_bits)
+        self.partial = 0
+        self.partial_bits = 0
+        return pad
+
+
+def read_compress_write(
+    src_path: str, dst_path: str, block_size: int = DEFAULT_BLOCK,
+    device: bool = False,
+) -> None:
+    """Compress ``src`` into ``dst`` as ``.hff`` (`huff/src/comp.rs:32-74`)."""
+    size = os.path.getsize(src_path)
+    nat = _native()
+    with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
+        tree = huff_tree_from_stream(src, size, block_size)
+        tree_bin = tree.as_bin()
+        tree_padding = calc_padding_bits(len(tree_bin))
+        tree_bytes = tree_bin.to_bytes()
+        src.seek(0)
+        # header: placeholder padding byte, tree length, tree (comp.rs:54-59)
+        dst.write(b"\x00")
+        dst.write(len(tree_bytes).to_bytes(4, "big"))
+        dst.write(tree_bytes)
+        lens_lut, codes_lut = tree.encode_tables()
+        enc = _device_encoder(tree) if device else None
+        sink = _BitSink(dst)
+        left = size
+        step = min(block_size, _CHUNK)
+        while left > 0:
+            chunk = src.read(min(step, left))
+            if not chunk:
+                break
+            data = np.frombuffer(chunk, dtype=np.uint8)
+            if enc is not None:
+                payload, nbits = enc(data)
+            else:
+                payload, nbits = _encode_chunk(data, lens_lut, codes_lut, nat)
+            sink.write(payload, nbits)
+            left -= len(chunk)
+        data_padding = sink.flush()
+        # patch the padding byte (comp.rs:69-70)
+        dst.seek(0)
+        dst.write(bytes([(tree_padding << 4) | data_padding]))
+
+
+def _device_encoder(tree: HuffTree, block_len: int = 65536):
+    """Chunk encoder routed through the JAX device pipeline."""
+    from ..dist import stitch_words
+    from ..dist.block import pad_to_blocks
+    from ..kernels.encode import encode_blocks, make_encode_tables
+
+    import jax.numpy as jnp
+
+    dl, da = make_encode_tables(*tree.encode_tables())
+
+    def encode(data: np.ndarray) -> tuple[bytes, int]:
+        blocks, valid, _ = pad_to_blocks(data, block_len, 1)
+        words, bits = encode_blocks(jnp.asarray(blocks), dl, da, jnp.asarray(valid))
+        payload, pad = stitch_words(np.asarray(words), np.asarray(bits))
+        return payload, len(payload) * 8 - pad
+
+    return encode
+
+
+def _read_hff_header(src: BinaryIO, src_path: str):
+    """Parse padding byte, tree length, tree (`huff/src/comp.rs:92-145`)."""
+    head = src.read(5)
+    if len(head) < 5:
+        raise StreamError(
+            f"{src_path!r} too short to decompress, missing header information",
+            "MissingHeaderInfo",
+        )
+    tree_padding = head[0] >> 4
+    data_padding = head[0] & 0x0F
+    if tree_padding > 7 or data_padding > 7:
+        raise StreamError(
+            f"{src_path!r} stores invalid header information", "InvalidHeaderInfo"
+        )
+    tree_len = int.from_bytes(head[1:5], "big")
+    tree_bytes = src.read(tree_len)
+    if len(tree_bytes) < tree_len:
+        raise StreamError(
+            f"{src_path!r} too short to decompress, missing header information",
+            "MissingHeaderInfo",
+        )
+    from ..core.bits import BitString
+    from ..core.tree import FromBinError
+
+    try:
+        tree = HuffTree.try_from_bin(
+            BitString.from_bytes(tree_bytes, tree_len * 8 - tree_padding)
+        )
+    except (FromBinError, ValueError):
+        raise StreamError(
+            f"{src_path!r} stores invalid header information", "InvalidHeaderInfo"
+        ) from None
+    return tree, data_padding, 5 + tree_len
+
+
+def read_decompress_write(
+    src_path: str, dst_path: str, block_size: int = DEFAULT_BLOCK
+) -> None:
+    """Decompress a ``.hff`` file (`huff/src/comp.rs:79-157`), streaming."""
+    size = os.path.getsize(src_path)
+    nat = _native()
+    with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
+        tree, data_padding, header_len = _read_hff_header(src, src_path)
+        payload_len = size - header_len
+        total_bits = payload_len * 8 - data_padding
+        if payload_len <= 0:
+            return
+        if tree.is_leaf(tree.root):
+            # degenerate single-letter stream: one letter per payload bit
+            letter = bytes([int(tree.letters[tree.root])])
+            left_bits = total_bits
+            while left_bits > 0:
+                emit = min(left_bits, _CHUNK * 8)
+                dst.write(letter * emit)
+                src.seek((emit + 7) // 8, 1)
+                left_bits -= emit
+        elif nat is not None:
+            tables = nat.build_dfa(tree)
+            step_bytes = min(max(block_size, 1 << 20), _CHUNK)
+            pos_bit = 0          # next un-decoded bit (global)
+            window = b""
+            win_byte = 0         # global byte index of window[0]
+            while pos_bit < total_bits:
+                # slide the window: drop consumed whole bytes, read ahead
+                drop = pos_bit // 8 - win_byte
+                if drop > 0:
+                    window = window[drop:]
+                    win_byte += drop
+                want_end_byte = min(
+                    win_byte + len(window) + step_bytes, (total_bits + 7) // 8
+                )
+                need = want_end_byte - (win_byte + len(window))
+                if need > 0:
+                    window += src.read(need)
+                end_bit = min((win_byte + len(window)) * 8, total_bits)
+                out, resume = nat.decode_resume(
+                    np.frombuffer(window, dtype=np.uint8),
+                    pos_bit - win_byte * 8,
+                    end_bit - win_byte * 8,
+                    tables,
+                    end_bit - pos_bit,  # letters <= bits decoded
+                )
+                dst.write(out)
+                if end_bit == total_bits:
+                    pos_bit = total_bits  # tail bits are padding-safe: done
+                else:
+                    new_pos = resume + win_byte * 8
+                    if new_pos <= pos_bit:
+                        raise StreamError(
+                            f"{src_path!r} stores invalid header information",
+                            "InvalidHeaderInfo",
+                        )
+                    pos_bit = new_pos
+        else:
+            payload = src.read()
+            dst.write(unpack_codes_u8(payload, data_padding, tree))
+
+
+# ---------------------------------------------------------------------------
+# .hf2 — block-indexed container
+# ---------------------------------------------------------------------------
+def read_compress_write_hf2(
+    src_path: str, dst_path: str, block_len: int = 65536, device: bool = False,
+) -> None:
+    """Compress into the block-indexed ``.hf2`` container (parallel decode)."""
+    size = os.path.getsize(src_path)
+    with open(src_path, "rb") as src:
+        data = np.fromfile(src, dtype=np.uint8)
+    if device:
+        from ..dist import stitch_words
+        from ..dist.block import encode_pipeline
+
+        words, bits, tree, _ = encode_pipeline(data, block_len=block_len)
+        payload, _pad = stitch_words(words, bits)
+        # drop trailing all-padding blocks from the index
+        n_blocks = max(1, -(-size // block_len)) if size else 1
+        bits = bits[:n_blocks]
+        end_bits = np.cumsum(bits.astype(np.uint64))
+    else:
+        nat = _native()
+        tree = HuffTree.from_weights(ByteWeights.from_bytes(data))
+        lens_lut, codes_lut = tree.encode_tables()
+        n_blocks = max(1, -(-size // block_len)) if size else 1
+        parts = []
+        bit_lens = np.zeros(n_blocks, dtype=np.uint64)
+        for b in range(n_blocks):
+            blk = data[b * block_len : (b + 1) * block_len]
+            if blk.size == 0:
+                continue
+            p, nbits = _encode_chunk(blk, lens_lut, codes_lut, nat)
+            parts.append((p, nbits))
+            bit_lens[b] = nbits
+        rows_bytes = max((len(p) for p, _ in parts), default=1)
+        rows = np.zeros((n_blocks, rows_bytes), dtype=np.uint8)
+        for b, (p, _) in enumerate(parts):
+            rows[b, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+        if nat is not None:
+            payload, _pad = nat.stitch_blocks(rows, bit_lens)
+        else:
+            # numpy fallback: big-int bit concat
+            value, total = 0, 0
+            for b, (p, nbits) in enumerate(parts):
+                chunk = int.from_bytes(p, "big") >> (len(p) * 8 - nbits)
+                value = (value << nbits) | chunk
+                total += nbits
+            pad = calc_padding_bits(total)
+            payload = (value << pad).to_bytes((total + pad) // 8, "big")
+        end_bits = np.cumsum(bit_lens)
+    with open(dst_path, "wb") as dst:
+        write_hf2(dst, tree, size, block_len, end_bits, payload)
+
+
+def read_decompress_write_hf2(
+    src_path: str, dst_path: str, threads: Optional[int] = None
+) -> None:
+    """Parallel decode of ``.hf2`` via the block index."""
+    with open(src_path, "rb") as src:
+        hdr = read_hf2_header(src)
+        payload = np.fromfile(src, dtype=np.uint8)
+    ends = hdr.end_bits.astype(np.uint64)
+    starts = np.concatenate([[np.uint64(0)], ends[:-1]])
+    B = hdr.num_blocks
+    out_caps = np.full(B, hdr.block_len, dtype=np.uint64)
+    if B:
+        out_caps[-1] = hdr.orig_len - (B - 1) * hdr.block_len
+    out_offsets = np.arange(B, dtype=np.uint64) * hdr.block_len
+    nat = _native()
+    if hdr.orig_len == 0:
+        open(dst_path, "wb").close()
+        return
+    if hdr.tree.is_leaf(hdr.tree.root):
+        with open(dst_path, "wb") as dst:
+            dst.write(bytes([int(hdr.tree.letters[hdr.tree.root])]) * hdr.orig_len)
+        return
+    if nat is not None:
+        tables = nat.build_dfa(hdr.tree)
+        out, out_lens = nat.decode_blocks(
+            payload, starts, ends, tables, out_offsets, out_caps, threads
+        )
+        if not np.array_equal(out_lens, out_caps):
+            raise StreamError(f"{src_path!r} block decode length mismatch",
+                              "InvalidHeaderInfo")
+        with open(dst_path, "wb") as dst:
+            out[: hdr.orig_len].tofile(dst)
+    else:
+        # fallback: serial whole-stream decode
+        pad = calc_padding_bits(hdr.total_bits)
+        data = unpack_codes_u8(
+            payload.tobytes()[: (hdr.total_bits + 7) // 8], pad, hdr.tree
+        )
+        with open(dst_path, "wb") as dst:
+            dst.write(data[: hdr.orig_len])

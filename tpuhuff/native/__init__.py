@@ -29,6 +29,7 @@ __all__ = [
     "encode",
     "build_dfa",
     "decode",
+    "decode_resume",
     "decode_blocks",
     "stitch_blocks",
     "DfaTables",
@@ -106,18 +107,18 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.huffc_encode.restype = ctypes.c_int64
     lib.huffc_build_dfa.argtypes = [
         _i32p, _i32p, _i32p, ctypes.c_int32, ctypes.c_int32,
-        _i16p, _u8p, _u8p, _i16p,
+        _i16p, _u8p, _u8p, _u8p, _i16p,
     ]
     lib.huffc_build_dfa.restype = ctypes.c_int32
     lib.huffc_decode.argtypes = [
         _u8p, ctypes.c_uint64, ctypes.c_uint64,
-        _i16p, _u8p, _u8p, _i32p, _i32p, _i32p, _i16p, _i32p,
-        ctypes.c_int32, _u8p, ctypes.c_uint64,
+        _i16p, _u8p, _u8p, _u8p, _i32p, _i32p, _i32p, _i16p, _i32p,
+        ctypes.c_int32, _u8p, ctypes.c_uint64, _u64p,
     ]
     lib.huffc_decode.restype = ctypes.c_int64
     lib.huffc_decode_blocks.argtypes = [
         _u8p, _u64p, _u64p, ctypes.c_int64,
-        _i16p, _u8p, _u8p, _i32p, _i32p, _i32p, _i16p, _i32p,
+        _i16p, _u8p, _u8p, _u8p, _i32p, _i32p, _i32p, _i16p, _i32p,
         ctypes.c_int32, _u8p, _u64p, _u64p, _u64p, ctypes.c_int,
     ]
     lib.huffc_decode_blocks.restype = ctypes.c_int64
@@ -176,8 +177,9 @@ class DfaTables:
     """Byte-driven DFA decode tables for a tree (native layout)."""
 
     __slots__ = (
-        "next_state", "emit_count", "emit_syms", "state_of_node",
-        "node_of_state", "left", "right", "letter", "root", "num_states",
+        "next_state", "emit_count", "emit_syms", "last_emit_bit",
+        "state_of_node", "node_of_state", "left", "right", "letter", "root",
+        "num_states",
     )
 
     def __init__(self, tree) -> None:
@@ -194,12 +196,14 @@ class DfaTables:
         self.next_state = np.zeros((S, 256), dtype=np.int16)
         self.emit_count = np.zeros((S, 256), dtype=np.uint8)
         self.emit_syms = np.zeros((S, 256, 8), dtype=np.uint8)
+        self.last_emit_bit = np.zeros((S, 256), dtype=np.uint8)
         self.state_of_node = np.zeros(n, dtype=np.int16)
         self.num_states = int(
             lib.huffc_build_dfa(
                 self.left, self.right, self.letter, n, self.root,
                 self.next_state.reshape(-1), self.emit_count.reshape(-1),
-                self.emit_syms.reshape(-1), self.state_of_node,
+                self.emit_syms.reshape(-1), self.last_emit_bit.reshape(-1),
+                self.state_of_node,
             )
         )
         self.node_of_state = np.zeros(max(self.num_states, 1), dtype=np.int32)
@@ -212,22 +216,35 @@ def decode(
     comp: np.ndarray, start_bit: int, end_bit: int, tables: DfaTables,
     out_cap: int,
 ) -> bytes:
+    out, _ = decode_resume(comp, start_bit, end_bit, tables, out_cap)
+    return out
+
+
+def decode_resume(
+    comp: np.ndarray, start_bit: int, end_bit: int, tables: DfaTables,
+    out_cap: int,
+) -> Tuple[bytes, int]:
+    """Decode a bit range; also return the bit offset just past the LAST
+    complete code (for chunked streaming, where a code may straddle the
+    chunk boundary — the reference keeps walker state across blocks,
+    huff/src/comp.rs:240; we instead re-read the tail bits)."""
     lib = _load()
     assert lib is not None
     comp = np.ascontiguousarray(comp, dtype=np.uint8)
     out = np.empty(out_cap, dtype=np.uint8)
+    resume = np.zeros(1, dtype=np.uint64)
     r = int(
         lib.huffc_decode(
             comp, start_bit, end_bit,
             tables.next_state.reshape(-1), tables.emit_count.reshape(-1),
-            tables.emit_syms.reshape(-1), tables.left, tables.right,
-            tables.letter, tables.state_of_node, tables.node_of_state,
-            tables.root, out, out_cap,
+            tables.emit_syms.reshape(-1), tables.last_emit_bit.reshape(-1),
+            tables.left, tables.right, tables.letter, tables.state_of_node,
+            tables.node_of_state, tables.root, out, out_cap, resume,
         )
     )
     if r < 0:
         raise RuntimeError(f"huffc_decode failed: {r}")
-    return out[:r].tobytes()
+    return out[:r].tobytes(), int(resume[0])
 
 
 def decode_blocks(
@@ -258,10 +275,10 @@ def decode_blocks(
         lib.huffc_decode_blocks(
             comp, start_bits, end_bits, start_bits.size,
             tables.next_state.reshape(-1), tables.emit_count.reshape(-1),
-            tables.emit_syms.reshape(-1), tables.left, tables.right,
-            tables.letter, tables.state_of_node, tables.node_of_state,
-            tables.root, out, out_offsets, out_caps, out_lens,
-            threads or num_threads(),
+            tables.emit_syms.reshape(-1), tables.last_emit_bit.reshape(-1),
+            tables.left, tables.right, tables.letter, tables.state_of_node,
+            tables.node_of_state, tables.root, out, out_offsets, out_caps,
+            out_lens, threads or num_threads(),
         )
     )
     if r != 0:
