@@ -83,3 +83,14 @@ def test_bitstring_basics():
     assert s2 == s
     assert s.pop() == 1
     assert s.to01() == "10"
+
+
+def test_ration_vec():
+    # huff_coding/src/utils.rs:6-28
+    from tpuhuff.core.utils import ration_vec, size_of_bits
+
+    assert ration_vec([1, 2, 3, 4, 5, 6], 3) == [[1, 2], [3, 4], [5, 6]]
+    assert ration_vec([1, 2, 3, 4, 5, 6, 7], 3) == [[1, 2], [3, 4], [5, 6, 7]]
+    assert ration_vec([1, 2], 5) == [[1, 2]]
+    assert size_of_bits("u8") == 8
+    assert size_of_bits("u128") == 128
