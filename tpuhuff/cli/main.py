@@ -86,6 +86,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="Host decode/stitch threads (default: all cores)")
     p.add_argument("--stats", action="store_true",
                    help="Print ratio / throughput / block count")
+    p.add_argument("--profile", nargs="?", const="", default=None,
+                   metavar="TRACE_DIR",
+                   help="Print per-stage timings; with TRACE_DIR also write "
+                   "a jax profiler trace there")
     p.add_argument("SRC_FILE")
     p.add_argument("DST_FILE", nargs="?", default="./SRC_FILE.hff")
     return p
@@ -140,18 +144,26 @@ def main(argv=None) -> int:
         if not _ask_replace(dst, args.noask):
             return 0
         from ..io import stream
+        from ..profiling import StageTimer, device_trace
 
-        if args.decompress:
-            if args.hf2:
-                stream.read_decompress_write_hf2(src, dst, threads=args.threads)
+        timer = StageTimer() if args.profile is not None else None
+        with device_trace(args.profile or None):
+            if args.decompress:
+                if args.hf2:
+                    stream.read_decompress_write_hf2(src, dst,
+                                                     threads=args.threads)
+                else:
+                    stream.read_decompress_write(src, dst, block_size)
             else:
-                stream.read_decompress_write(src, dst, block_size)
-        else:
-            if args.hf2:
-                stream.read_compress_write_hf2(src, dst, device=args.device)
-            else:
-                stream.read_compress_write(src, dst, block_size,
-                                           device=args.device)
+                if args.hf2:
+                    stream.read_compress_write_hf2(src, dst,
+                                                   device=args.device)
+                else:
+                    stream.read_compress_write(src, dst, block_size,
+                                               device=args.device,
+                                               timer=timer)
+        if timer is not None:
+            print(timer.report())
         if args.replace:
             os.remove(src)
     except (CliError, ValueError) as e:

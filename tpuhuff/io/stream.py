@@ -138,13 +138,17 @@ class _BitSink:
 
 def read_compress_write(
     src_path: str, dst_path: str, block_size: int = DEFAULT_BLOCK,
-    device: bool = False,
+    device: bool = False, timer=None,
 ) -> None:
     """Compress ``src`` into ``dst`` as ``.hff`` (`huff/src/comp.rs:32-74`)."""
+    from ..profiling import StageTimer
+
+    timer = timer if timer is not None else StageTimer()
     size = os.path.getsize(src_path)
     nat = _native()
     with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
-        tree = huff_tree_from_stream(src, size, block_size)
+        with timer.stage("histogram", size):
+            tree = huff_tree_from_stream(src, size, block_size)
         tree_bin = tree.as_bin()
         tree_padding = calc_padding_bits(len(tree_bin))
         tree_bytes = tree_bin.to_bytes()
@@ -163,11 +167,13 @@ def read_compress_write(
             if not chunk:
                 break
             data = np.frombuffer(chunk, dtype=np.uint8)
-            if enc is not None:
-                payload, nbits = enc(data)
-            else:
-                payload, nbits = _encode_chunk(data, lens_lut, codes_lut, nat)
-            sink.write(payload, nbits)
+            with timer.stage("pack", len(chunk)):
+                if enc is not None:
+                    payload, nbits = enc(data)
+                else:
+                    payload, nbits = _encode_chunk(data, lens_lut, codes_lut, nat)
+            with timer.stage("write", (nbits + 7) // 8):
+                sink.write(payload, nbits)
             left -= len(chunk)
         data_padding = sink.flush()
         # patch the padding byte (comp.rs:69-70)
