@@ -2,12 +2,16 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Config-2 style workload (BASELINE.md): ~enwik-like text, 64 KB blocks,
-device-side histogram + pack, steady-state timing after compile.  The
-baseline share is the north star (>= 10 GB/s aggregate on a v5p-16, i.e.
-8 chips) divided per chip: 1.25 GB/s.  vs_baseline > 1 beats it.
+Methodology (important on tunneled/relayed TPU attachments): the device
+step runs K iterations inside ONE jitted ``fori_loop`` with device-side
+input variation, and the per-iteration time is the slope between a K1-run
+and a K2-run — this cancels dispatch-floor latency and any host<->device
+transfer artifacts exactly, measuring true device kernel time.
 
-Extra diagnostic timings go to stderr; the driver consumes stdout.
+Workload: config-2 style (BASELINE.md) — enwik-like text, 64 KB blocks,
+device histogram + device bit-pack of every block.  Baseline share: the
+north star (>= 10 GB/s aggregate on a v5p-16, counted as 8 chips) is
+1.25 GB/s per chip; vs_baseline > 1 beats it.
 """
 
 import json
@@ -19,12 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-PER_CHIP_BASELINE_GBPS = 10.0 / 8.0  # north-star aggregate / v5p-16 chips
+PER_CHIP_BASELINE_GBPS = 10.0 / 8.0
 
-# tunables (overridable for experiments)
-DATA_MB = int(os.environ.get("BENCH_MB", "64"))
-BLOCK_LEN = int(os.environ.get("BENCH_BLOCK", "65536"))
-ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+DATA_MB = int(os.environ.get("BENCH_MB", "16"))
+BLOCK_LEN = int(os.environ.get("BENCH_BLOCK", "16384"))
+K1 = int(os.environ.get("BENCH_K1", "2"))
+K2 = int(os.environ.get("BENCH_K2", "8"))
 
 
 def log(*a):
@@ -32,7 +36,6 @@ def log(*a):
 
 
 def make_textlike(n: int) -> np.ndarray:
-    """enwik8-style byte distribution: skewed text + markup + some binary."""
     rng = np.random.default_rng(42)
     text = (
         b"the of and to in a is that it was for on are as with his they at "
@@ -41,7 +44,6 @@ def make_textlike(n: int) -> np.ndarray:
         b"prefix code that is commonly used for lossless data compression. "
     )
     base = np.frombuffer(text * (n // len(text) + 1), dtype=np.uint8)[:n].copy()
-    # sprinkle some high bytes so the alphabet is realistic
     idx = rng.integers(0, n, n // 64)
     base[idx] = rng.integers(0, 256, idx.size, dtype=np.uint8)
     return base
@@ -54,8 +56,7 @@ def main() -> None:
     from tpuhuff.core.codec import pack_codes_u8
     from tpuhuff.core.tree import HuffTree
     from tpuhuff.core.weights import ByteWeights
-    from tpuhuff.dist.block import pad_to_blocks
-    from tpuhuff.kernels.encode import encode_blocks, make_encode_tables
+    from tpuhuff.kernels.encode import encode_blocks, make_encode_tables, words_to_payload
     from tpuhuff.kernels.histogram import histogram
 
     dev = jax.devices()[0]
@@ -63,42 +64,54 @@ def main() -> None:
 
     n = DATA_MB << 20
     data = make_textlike(n)
-    blocks, valid, _ = pad_to_blocks(data, BLOCK_LEN, 1)
-    log(f"data: {DATA_MB} MiB, {blocks.shape[0]} blocks of {BLOCK_LEN}")
-
+    B = n // BLOCK_LEN
+    blocks_np = data[: B * BLOCK_LEN].reshape(B, BLOCK_LEN)
     tree = HuffTree.from_weights(ByteWeights.from_bytes(data))
     dl, da = make_encode_tables(*tree.encode_tables())
 
-    jblocks = jax.device_put(jnp.asarray(blocks), dev)
-    jvalid = jax.device_put(jnp.asarray(valid), dev)
+    t0 = time.time()
+    jblocks = jax.device_put(jnp.asarray(blocks_np), dev)
     dl = jax.device_put(dl, dev)
     da = jax.device_put(da, dev)
+    log(f"upload {DATA_MB} MiB: {time.time()-t0:.1f}s; {B} blocks of {BLOCK_LEN}")
 
-    @jax.jit
-    def step(b, v, l, a):
-        h = histogram(b)
-        words, bits = encode_blocks(b, l, a, v)
-        return h, words, bits
+    # device-side variation that stays inside the tree's alphabet: roll the
+    # block axis so every iteration packs a different (but valid) batch
+    def one_iter(b, i):
+        rolled = jnp.roll(b, i, axis=0)
+        h = histogram(rolled)
+        words, bits = encode_blocks(rolled, dl, da)
+        return (jnp.sum(bits) + h[0]).astype(jnp.int32) & 0xFFFF
 
-    t0 = time.time()
-    h, words, bits = jax.block_until_ready(step(jblocks, jvalid, dl, da))
-    log(f"compile+first run: {time.time()-t0:.1f}s")
+    def make(K):
+        @jax.jit
+        def run(b):
+            return jax.lax.fori_loop(
+                0, K, lambda i, acc: acc + one_iter(b, i), jnp.int32(0)
+            )
+        return run
 
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(step(jblocks, jvalid, dl, da))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    gbps = n / best / 1e9
-    log(f"iters: {[f'{t*1e3:.1f}ms' for t in times]} -> best {best*1e3:.1f}ms "
-        f"= {gbps:.2f} GB/s")
+    times = {}
+    for K in (K1, K2):
+        f = make(K)
+        t0 = time.time()
+        int(f(jblocks))
+        log(f"K={K}: compile+first {time.time()-t0:.1f}s")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(f(jblocks))
+            best = min(best, time.perf_counter() - t0)
+        times[K] = best
+        log(f"K={K}: best total {best*1e3:.1f}ms")
+    per_iter = (times[K2] - times[K1]) / (K2 - K1)
+    gbps = n / max(per_iter, 1e-9) / 1e9
+    log(f"per-iter device time {per_iter*1e3:.2f}ms -> {gbps:.2f} GB/s")
 
-    # correctness: first block must match the scalar host packer bit-for-bit
+    # correctness: device words for block 0 must match the scalar host packer
+    words, bits = encode_blocks(jblocks, dl, da)
     lens, codes = tree.encode_tables()
-    ref, ref_pad = pack_codes_u8(blocks[0], lens, codes)
-    from tpuhuff.kernels.encode import words_to_payload
-
+    ref, _ = pack_codes_u8(blocks_np[0], lens, codes)
     got = words_to_payload(np.asarray(words[0]), int(bits[0]))
     assert got == ref, "device output mismatch vs host reference"
     log("bit-exactness vs host packer: OK")
