@@ -145,3 +145,23 @@ def test_device_hff_stream_matches_host(tmpfiles):
     assert open(hff, "rb").read() == host_bytes
     read_decompress_write(hff, back, 10**9)
     assert open(back, "rb").read() == data
+
+
+def test_hf2_device_decode(tmpfiles):
+    data = np.random.default_rng(11).integers(0, 90, 10_000, dtype=np.uint8).tobytes()
+    src, _, back = tmpfiles(data)
+    hf2 = src + ".hf2"
+    read_compress_write_hf2(src, hf2, block_len=1024)
+    read_decompress_write_hf2(hf2, back, device=True)
+    assert open(back, "rb").read() == data
+
+
+def test_multihost_file_single_process(tmpfiles):
+    from tpuhuff.dist.multihost import compress_file_multihost
+
+    data = np.random.default_rng(12).integers(0, 120, 30_000, dtype=np.uint8).tobytes()
+    src, _, back = tmpfiles(data)
+    hf2 = src + ".mh.hf2"
+    compress_file_multihost(src, hf2, block_len=2048)
+    read_decompress_write_hf2(hf2, back)
+    assert open(back, "rb").read() == data

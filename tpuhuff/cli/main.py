@@ -151,7 +151,8 @@ def main(argv=None) -> int:
             if args.decompress:
                 if args.hf2:
                     stream.read_decompress_write_hf2(src, dst,
-                                                     threads=args.threads)
+                                                     threads=args.threads,
+                                                     device=args.device)
                 else:
                     stream.read_decompress_write(src, dst, block_size)
             else:

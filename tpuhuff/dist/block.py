@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..kernels.encode import encode_blocks, make_encode_tables
+from ..kernels import get_block_encoder, make_encode_tables
 from ..kernels.histogram import histogram
 from .mesh import BLOCK_AXIS, make_mesh
 
@@ -82,8 +82,10 @@ def sharded_encode(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack (B, N) blocks data-parallel; returns (words (B, N), bits (B,))."""
 
+    encode = get_block_encoder()
+
     def shard(local, valid, ll, al):
-        return encode_blocks(local, ll, al, valid)
+        return encode(local, ll, al, valid)
 
     fn = jax.shard_map(
         shard,

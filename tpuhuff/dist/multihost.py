@@ -27,6 +27,7 @@ __all__ = [
     "is_coordinator",
     "host_shard_range",
     "compress_multihost",
+    "compress_file_multihost",
 ]
 
 
@@ -63,6 +64,43 @@ def host_shard_range(total_len: int, block_len: int) -> Tuple[int, int]:
     per = -(-n_blocks // nproc)
     lo_b, hi_b = pid * per, min((pid + 1) * per, n_blocks)
     return lo_b * block_len, min(hi_b * block_len, total_len)
+
+
+def compress_file_multihost(
+    src_path: str, dst_path: str, block_len: int = 65536
+) -> None:
+    """Config-5 orchestration: per-host streaming read of its own byte
+    range, global-psum tree, device-parallel pack, host-0 ordered write of
+    the ``.hf2`` container.
+
+    Every process calls this with the same paths (SPMD); only process 0
+    writes.  Degenerates to the single-host pipeline when run standalone.
+    """
+    import os
+
+    from ..io.hff import write_hf2
+
+    total = os.path.getsize(src_path)
+    lo, hi = host_shard_range(total, block_len)
+    with open(src_path, "rb") as fp:
+        fp.seek(lo)
+        local = np.frombuffer(fp.read(hi - lo), dtype=np.uint8)
+    words, bits, tree, _ = compress_multihost(local, block_len=block_len)
+    n_local_blocks = max(1, -(-local.size // block_len)) if local.size else 0
+    bits = bits[:n_local_blocks]
+    words = words[:n_local_blocks]
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        words = multihost_utils.process_allgather(words).reshape(-1, words.shape[-1])
+        bits = multihost_utils.process_allgather(bits).reshape(-1)
+    if is_coordinator():
+        from . import stitch_words
+
+        payload, _pad = stitch_words(words, bits)
+        end_bits = np.cumsum(np.asarray(bits, dtype=np.uint64))
+        with open(dst_path, "wb") as out:
+            write_hf2(out, tree, total, block_len, end_bits, payload)
 
 
 def compress_multihost(local_data: np.ndarray, block_len: int = 65536):

@@ -353,12 +353,20 @@ def read_compress_write_hf2(
 
 
 def read_decompress_write_hf2(
-    src_path: str, dst_path: str, threads: Optional[int] = None
+    src_path: str, dst_path: str, threads: Optional[int] = None,
+    device: bool = False,
 ) -> None:
-    """Parallel decode of ``.hf2`` via the block index."""
+    """Parallel decode of ``.hf2`` via the block index (threaded C++ or the
+    lane-parallel device kernel with ``device=True``)."""
     with open(src_path, "rb") as src:
         hdr = read_hf2_header(src)
         payload = np.fromfile(src, dtype=np.uint8)
+    if device:
+        from ..kernels.decode import decode_hf2_device
+
+        with open(dst_path, "wb") as dst:
+            dst.write(decode_hf2_device(hdr, payload.tobytes()))
+        return
     ends = hdr.end_bits.astype(np.uint64)
     starts = np.concatenate([[np.uint64(0)], ends[:-1]])
     B = hdr.num_blocks
