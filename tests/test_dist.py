@@ -104,3 +104,20 @@ def test_multihost_single_process_degenerates():
     payload, pad = stitch_words(words, bits)
     host = tpuhuff.compress(data.tobytes())
     assert payload == host.comp_bytes and pad == host.padding_bits
+
+
+def test_encode_pipeline_deep_tree_fallback():
+    # fib weights exceed an (artificially low) device code-length cap; the
+    # pipeline must switch to the length-limited tree and still round-trip
+    n = 14
+    fib = [1, 1]
+    for _ in range(n - 2):
+        fib.append(fib[-1] + fib[-2])
+    raw = np.repeat(np.arange(n, dtype=np.uint8), fib)
+    words, bits, tree, orig = encode_pipeline(raw, block_len=256, max_code_len=8)
+    assert tree.max_code_len() <= 8
+    from tpuhuff.core.format import CompressData
+
+    payload, pad = stitch_words(words, bits)
+    comp = CompressData(payload, pad, tree)
+    assert tpuhuff.decompress(comp) == raw.tobytes()

@@ -100,12 +100,13 @@ def encode_pipeline(
     data: np.ndarray,
     block_len: int = 65536,
     mesh: Mesh | None = None,
+    max_code_len: int = 32,
 ) -> Tuple[np.ndarray, np.ndarray, "object", int]:
     """Full two-pass pipeline: psum histogram -> host tree -> sharded pack.
 
     Returns ``(words (B, N) u32, bit_lens (B,), tree, orig_len)``.
     """
-    from ..core.tree import HuffTree
+    from ..core.canonical import build_tree_for_device
     from ..core.weights import ByteWeights
 
     if mesh is None:
@@ -117,7 +118,10 @@ def encode_pipeline(
     jblocks = jnp.asarray(blocks)
     jvalid = jnp.asarray(valid)
     counts = sharded_histogram(jblocks, jvalid, mesh).astype(np.int64)
-    tree = HuffTree.from_weights(ByteWeights(counts))
+    # device codewords live in u32 lanes; on (pathological) trees deeper
+    # than 32 the pipeline switches to the optimal length-limited code —
+    # still a valid .hff tree, marginally larger output (PARITY.md)
+    tree, _limited = build_tree_for_device(ByteWeights(counts), max_len=max_code_len)
     lens, codes = tree.encode_tables()
     dl, da = make_encode_tables(lens, codes)
     words, bits = sharded_encode(jblocks, jvalid, dl, da, mesh)
