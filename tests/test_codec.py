@@ -156,3 +156,20 @@ def test_optimality_vs_entropy():
     # uniform bytes: every code must be exactly 8 bits
     lens, _ = comp.huff_tree.encode_tables()
     assert set(np.unique(lens)) <= {7, 8}
+
+
+def test_container_non_u8_letter_type():
+    # wire form for wider letters (letter.rs:57-60 parity at container level)
+    from tpuhuff import CompressData, compress_with_tree, HuffTree
+
+    letters = [1000, 2000, 2000, 70000, 70000, 70000]
+    weights = {}
+    for l in letters:
+        weights[l] = weights.get(l, 0) + 1
+    tree = HuffTree.from_weights(weights)
+    comp = compress_with_tree(letters, tree, "u32")
+    raw = comp.to_bytes()
+    rt = CompressData.try_from_bytes(raw, "u32")
+    assert decompress(rt) == letters
+    # tree bin carries 32 bits per leaf
+    assert int.from_bytes(raw[1:5], "big") == (2 * 3 - 1 + 32 * 3 + 7) // 8
