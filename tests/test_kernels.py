@@ -133,3 +133,33 @@ def test_over_32bit_codes_rejected():
     lens, codes = tree.encode_tables()
     with pytest.raises(OverflowError):
         make_encode_tables(lens, codes)
+
+
+def test_lut_select_matches_take():
+    import jax.numpy as jnp
+
+    from tpuhuff.kernels.encode import lut_lens, lut_select
+
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.integers(0, 2**32, 256, dtype=np.uint32))
+    lens = jnp.asarray(rng.integers(0, 33, 256, dtype=np.int32))
+    idx = jnp.asarray(rng.integers(0, 256, (3, 512), dtype=np.uint8)).astype(jnp.int32)
+    got = np.asarray(lut_select(idx, table))
+    assert np.array_equal(got, np.asarray(table)[np.asarray(idx)])
+    got_l = np.asarray(lut_lens(idx, lens))
+    assert np.array_equal(got_l, np.asarray(lens)[np.asarray(idx)])
+
+
+@pytest.mark.parametrize("alphabet", [2, 256])
+def test_encode_blocks_gather_free_parity(alphabet):
+    rng = np.random.default_rng(alphabet)
+    data = rng.integers(0, alphabet, (4, 1024), dtype=np.uint8)
+    tree = _tree_for(data.reshape(-1))
+    lens, codes = tree.encode_tables()
+    dl, da = make_encode_tables(lens, codes)
+    w0, b0 = encode_blocks(data, dl, da, gather_free=False)
+    w1, b1 = encode_blocks(data, dl, da, gather_free=True)
+    assert np.array_equal(np.asarray(w0), np.asarray(w1))
+    assert np.array_equal(np.asarray(b0), np.asarray(b1))
+    bl = np.asarray(block_bit_lengths(data, dl, gather_free=True))
+    assert np.array_equal(bl, np.asarray(b0))

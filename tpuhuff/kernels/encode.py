@@ -41,6 +41,8 @@ __all__ = [
     "make_encode_tables",
     "words_to_payload",
     "block_bit_lengths",
+    "lut_select",
+    "lut_lens",
 ]
 
 
@@ -62,6 +64,61 @@ def make_encode_tables(lens_lut: np.ndarray, codes_lut: np.ndarray):
     return (
         jnp.asarray(lens.astype(np.int32)),
         jnp.asarray((full & 0xFFFFFFFF).astype(np.uint32)),
+    )
+
+
+def _select_tree(bits, table: jnp.ndarray, lo: int, size: int) -> jnp.ndarray:
+    """Gather-free table lookup: balanced binary select tree.
+
+    ``bits[k]`` is the boolean array "bit k of the index is set" (any common
+    shape); ``table`` is a traced 1-D array of ``size`` power-of-two length.
+    Returns ``table[index]`` elementwise using only static slices and
+    ``where`` — XLA fuses the whole tree into one elementwise pass.  This
+    replaces ``jnp.take``, which lowers to a scalar-ish gather on TPU
+    (measured ~0.1 GB/s for a 256-entry LUT on v5e vs ~10 GB/s for this).
+    """
+    if size == 1:
+        return table[lo]
+    half = size // 2
+    level = half.bit_length() - 1  # bit index that splits [lo, lo+size)
+    lo_v = _select_tree(bits, table, lo, half)
+    hi_v = _select_tree(bits, table, lo + half, half)
+    return jnp.where(bits[level], hi_v, lo_v)
+
+
+def lut_select(data_i32: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """``table[data]`` for a 256-entry traced table, gather-free."""
+    bits = [((data_i32 >> k) & 1) == 1 for k in range(8)]
+    return _select_tree(bits, table, 0, 256)
+
+
+def lut_lens(data_i32: jnp.ndarray, lens_lut: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free code-length lookup.
+
+    Lengths fit a byte, so four LUT entries pack per u32 word: the tree
+    shrinks to 64 entries (63 selects) plus one variable shift — ~4x cheaper
+    than a full 256-entry tree.
+    """
+    l8 = lens_lut.astype(jnp.uint32) & jnp.uint32(0xFF)
+    packed = (
+        l8[0::4]
+        | (l8[1::4] << 8)
+        | (l8[2::4] << 16)
+        | (l8[3::4] << 24)
+    )  # (64,)
+    bits = [((data_i32 >> (k + 2)) & 1) == 1 for k in range(6)]
+    word = _select_tree(bits, packed, 0, 64)
+    sh = ((data_i32 & 3) * 8).astype(jnp.uint32)
+    return ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+
+
+def _lut_lookup(data: jnp.ndarray, lens_lut, acodes_lut, gather_free: bool):
+    idx = data.astype(jnp.int32)
+    if gather_free:
+        return lut_lens(idx, lens_lut), lut_select(idx, acodes_lut)
+    return (
+        jnp.take(lens_lut, idx, axis=0),
+        jnp.take(acodes_lut, idx, axis=0),
     )
 
 
@@ -108,11 +165,21 @@ def _merge_level(vals: jnp.ndarray, lens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp
     return A_ext | shifted, la + lb
 
 
-@functools.partial(jax.jit, static_argnames=("block_len",))
+def _auto_gather_free(gather_free):
+    if gather_free is None:
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+    return bool(gather_free)
+
+
+@functools.partial(jax.jit, static_argnames=("block_len", "gather_free"))
 def encode_blocks(
     data: jnp.ndarray, lens_lut: jnp.ndarray, acodes_lut: jnp.ndarray,
     valid_lens: jnp.ndarray | None = None,
     block_len: int | None = None,
+    gather_free: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack blocks of bytes into Huffman bitstreams.
 
@@ -121,6 +188,9 @@ def encode_blocks(
     no bits (ragged tails of a stream reshaped to fixed blocks).  Returns
     ``(words (B, N) uint32, bit_lens (B,))``.  Symbols with LUT length 0
     also contribute nothing (the "missing letter" case is checked on host).
+
+    ``gather_free`` selects the select-tree LUT (default on TPU, where
+    gathers are catastrophically slow) vs ``jnp.take`` (default elsewhere).
     """
     if data.ndim == 1:
         data = data[None, :]
@@ -128,8 +198,8 @@ def encode_blocks(
     if block_len is not None:
         assert N == block_len
     assert N & (N - 1) == 0, "block length must be a power of two"
-    lens = jnp.take(lens_lut, data.astype(jnp.int32), axis=0)
-    acodes = jnp.take(acodes_lut, data.astype(jnp.int32), axis=0)
+    lens, acodes = _lut_lookup(data, lens_lut, acodes_lut,
+                               _auto_gather_free(gather_free))
     if valid_lens is not None:
         mask = jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None]
         lens = jnp.where(mask, lens, 0)
@@ -141,9 +211,14 @@ def encode_blocks(
     return vals[..., 0, :], cur[..., 0]
 
 
-def block_bit_lengths(data: jnp.ndarray, lens_lut: jnp.ndarray) -> jnp.ndarray:
+def block_bit_lengths(
+    data: jnp.ndarray, lens_lut: jnp.ndarray, gather_free: bool | None = None
+) -> jnp.ndarray:
     """Exact per-block bit lengths (cheap pre-pass for allocation/offsets)."""
-    lens = jnp.take(lens_lut, data.astype(jnp.int32), axis=0)
+    if _auto_gather_free(gather_free):
+        lens = lut_lens(data.astype(jnp.int32), lens_lut)
+    else:
+        lens = jnp.take(lens_lut, data.astype(jnp.int32), axis=0)
     return jnp.sum(lens, axis=-1)
 
 

@@ -132,10 +132,13 @@ def encode_blocks_pallas(
     acodes_lut: jnp.ndarray,
     valid_lens: jnp.ndarray | None = None,
     interpret: bool = False,
+    gather_free: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in variant of :func:`tpuhuff.kernels.encode.encode_blocks` that
     runs the merge in the Pallas kernel.  ``data`` (B, N) uint8; B padded to
     a multiple of 128 internally (extra blocks report 0 bits)."""
+    from .encode import _auto_gather_free, _lut_lookup
+
     if data.ndim == 1:
         data = data[None, :]
     B, N = data.shape
@@ -148,8 +151,8 @@ def encode_blocks_pallas(
             valid_lens = jnp.concatenate(
                 [jnp.full(B, N, jnp.int32), jnp.zeros(Bp - B, jnp.int32)]
             )
-    lens = jnp.take(lens_lut, data.astype(jnp.int32), axis=0)
-    acodes = jnp.take(acodes_lut, data.astype(jnp.int32), axis=0)
+    lens, acodes = _lut_lookup(data, lens_lut, acodes_lut,
+                               _auto_gather_free(gather_free))
     if valid_lens is not None:
         mask = jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None]
         lens = jnp.where(mask, lens, 0)
