@@ -67,7 +67,10 @@ def main() -> None:
     B = n // BLOCK_LEN
     blocks_np = data[: B * BLOCK_LEN].reshape(B, BLOCK_LEN)
     tree = HuffTree.from_weights(ByteWeights.from_bytes(data))
-    dl, da = make_encode_tables(*tree.encode_tables())
+    lens_lut, codes_lut = tree.encode_tables()
+    dl, da = make_encode_tables(lens_lut, codes_lut)
+    ML = int(lens_lut.max())
+    log(f"max code len: {ML}")
 
     t0 = time.time()
     jblocks = jax.device_put(jnp.asarray(blocks_np), dev)
@@ -80,7 +83,7 @@ def main() -> None:
     def one_iter(b, i):
         rolled = jnp.roll(b, i, axis=0)
         h = histogram(rolled)
-        words, bits = encode_blocks(rolled, dl, da)
+        words, bits = encode_blocks(rolled, dl, da, max_code_len=ML)
         return (jnp.sum(bits) + h[0]).astype(jnp.int32) & 0xFFFF
 
     def make(K):
@@ -109,8 +112,8 @@ def main() -> None:
     log(f"per-iter device time {per_iter*1e3:.2f}ms -> {gbps:.2f} GB/s")
 
     # correctness: device words for block 0 must match the scalar host packer
-    words, bits = encode_blocks(jblocks, dl, da)
-    lens, codes = tree.encode_tables()
+    words, bits = encode_blocks(jblocks, dl, da, max_code_len=ML)
+    lens, codes = lens_lut, codes_lut
     ref, _ = pack_codes_u8(blocks_np[0], lens, codes)
     got = words_to_payload(np.asarray(words[0]), int(bits[0]))
     assert got == ref, "device output mismatch vs host reference"

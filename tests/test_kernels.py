@@ -163,3 +163,34 @@ def test_encode_blocks_gather_free_parity(alphabet):
     assert np.array_equal(np.asarray(b0), np.asarray(b1))
     bl = np.asarray(block_bit_lengths(data, dl, gather_free=True))
     assert np.array_equal(bl, np.asarray(b0))
+
+
+@pytest.mark.parametrize("alphabet", [2, 17, 256])
+def test_encode_blocks_max_code_len_parity(alphabet):
+    rng = np.random.default_rng(alphabet + 99)
+    data = rng.integers(0, alphabet, (3, 512), dtype=np.uint8)
+    tree = _tree_for(data.reshape(-1))
+    lens, codes = tree.encode_tables()
+    dl, da = make_encode_tables(lens, codes)
+    ml = int(lens.max())
+    w0, b0 = encode_blocks(data, dl, da)
+    w1, b1 = encode_blocks(data, dl, da, max_code_len=ml)
+    assert np.array_equal(np.asarray(b0), np.asarray(b1))
+    assert w1.shape[1] <= w0.shape[1]
+    for b in range(3):
+        ref_payload, _ = pack_codes_u8(data[b], lens, codes)
+        assert words_to_payload(np.asarray(w1[b]), int(b1[b])) == ref_payload
+
+
+def test_encode_blocks_max_code_len_with_valid():
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 200, (4, 256), dtype=np.uint8)
+    valid = np.array([256, 100, 1, 0], dtype=np.int32)
+    tree = _tree_for(data.reshape(-1))
+    lens, codes = tree.encode_tables()
+    dl, da = make_encode_tables(lens, codes)
+    w, b = encode_blocks(data, dl, da, valid, max_code_len=int(lens.max()))
+    for i in range(4):
+        ref_payload, ref_pad = pack_codes_u8(data[i, : valid[i]], lens, codes)
+        assert int(b[i]) == len(ref_payload) * 8 - ref_pad
+        assert words_to_payload(np.asarray(w[i]), int(b[i])) == ref_payload

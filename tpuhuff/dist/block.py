@@ -78,13 +78,15 @@ def sharded_histogram(
 
 def sharded_encode(
     blocks: jnp.ndarray, valid_lens: jnp.ndarray, lens_lut, acodes_lut,
-    mesh: Mesh,
+    mesh: Mesh, max_code_len: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack (B, N) blocks data-parallel; returns (words (B, N), bits (B,))."""
+    """Pack (B, N) blocks data-parallel; returns (words (B, W), bits (B,))."""
 
     encode = get_block_encoder()
 
     def shard(local, valid, ll, al):
+        if max_code_len is not None:
+            return encode(local, ll, al, valid, max_code_len=max_code_len)
         return encode(local, ll, al, valid)
 
     fn = jax.shard_map(
@@ -124,5 +126,6 @@ def encode_pipeline(
     tree, _limited = build_tree_for_device(ByteWeights(counts), max_len=max_code_len)
     lens, codes = tree.encode_tables()
     dl, da = make_encode_tables(lens, codes)
-    words, bits = sharded_encode(jblocks, jvalid, dl, da, mesh)
+    words, bits = sharded_encode(jblocks, jvalid, dl, da, mesh,
+                                 max_code_len=int(lens.max()))
     return np.asarray(words), np.asarray(bits), tree, orig_len

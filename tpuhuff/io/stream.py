@@ -189,11 +189,14 @@ def _device_encoder(tree: HuffTree, block_len: int = 65536):
 
     import jax.numpy as jnp
 
-    dl, da = make_encode_tables(*tree.encode_tables())
+    lens_t, codes_t = tree.encode_tables()
+    dl, da = make_encode_tables(lens_t, codes_t)
+    ml = int(lens_t.max())
 
     def encode(data: np.ndarray) -> tuple[bytes, int]:
         blocks, valid, _ = pad_to_blocks(data, block_len, 1)
-        words, bits = encode_blocks(jnp.asarray(blocks), dl, da, jnp.asarray(valid))
+        words, bits = encode_blocks(jnp.asarray(blocks), dl, da, jnp.asarray(valid),
+                                    max_code_len=ml)
         payload, pad = stitch_words(np.asarray(words), np.asarray(bits))
         return payload, len(payload) * 8 - pad
 

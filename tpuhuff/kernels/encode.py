@@ -122,11 +122,16 @@ def _lut_lookup(data: jnp.ndarray, lens_lut, acodes_lut, gather_free: bool):
     )
 
 
-def _shift_right_bits(vals: jnp.ndarray, shift: jnp.ndarray, out_w: int) -> jnp.ndarray:
+def _shift_right_bits(
+    vals: jnp.ndarray, shift: jnp.ndarray, out_w: int,
+    max_shift: int | None = None,
+) -> jnp.ndarray:
     """Shift bit-strings right (toward later stream positions).
 
     ``vals``: (..., W) u32 word arrays, MSB-first bit semantics.
-    ``shift``: (...,) i32 bit counts in [0, 32*W].
+    ``shift``: (...,) i32 bit counts in [0, 32*W] (or [0, max_shift] when
+    given — a tighter static bound shrinks the word-shift select tree; with
+    ``max_shift < 32`` it vanishes entirely).
     Returns (..., out_w) with each row's bits moved ``shift`` later.
     """
     W = vals.shape[-1]
@@ -135,7 +140,7 @@ def _shift_right_bits(vals: jnp.ndarray, shift: jnp.ndarray, out_w: int) -> jnp.
     q = (shift >> 5).astype(jnp.int32)
     r = (shift & 31).astype(jnp.uint32)
     # word-granularity shift: select tree over the bits of q (static slices)
-    maxq = W  # shift <= 32*W  =>  q <= W
+    maxq = max_shift >> 5 if max_shift is not None else W
     step = 1
     while step <= maxq:
         rolled = jnp.concatenate(
@@ -152,16 +157,30 @@ def _shift_right_bits(vals: jnp.ndarray, shift: jnp.ndarray, out_w: int) -> jnp.
     return (x >> rr) | lo
 
 
-def _merge_level(vals: jnp.ndarray, lens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One doubling level: concat adjacent bit-string pairs."""
-    B = vals.shape[0]
+def _merge_level(
+    vals: jnp.ndarray, lens: jnp.ndarray, max_bits: int | None = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One doubling level: concat adjacent bit-string pairs.
+
+    ``max_bits`` is a static upper bound on each input string's bit length.
+    The merged strings then need only ``ceil(2*max_bits/32)`` words instead
+    of ``2*W`` — for short codes (text trees: max ~12-16 bits) this shrinks
+    every temporary and the shift select trees by 2-3x, the dominant HBM
+    cost of the whole pack.
+    """
     n, W = vals.shape[-2], vals.shape[-1]
     A = vals[..., 0::2, :]
     Bv = vals[..., 1::2, :]
     la = lens[..., 0::2]
     lb = lens[..., 1::2]
-    shifted = _shift_right_bits(Bv, la, 2 * W)
-    A_ext = jnp.pad(A, [(0, 0)] * (vals.ndim - 2) + [(0, 0), (0, W)])
+    if max_bits is None:
+        out_w, max_shift = 2 * W, None
+    else:
+        assert max_bits <= 32 * W
+        out_w = min(2 * W, -(-(2 * max_bits) // 32))
+        max_shift = max_bits
+    shifted = _shift_right_bits(Bv, la, out_w, max_shift)
+    A_ext = jnp.pad(A, [(0, 0)] * (vals.ndim - 2) + [(0, 0), (0, out_w - W)])
     return A_ext | shifted, la + lb
 
 
@@ -174,12 +193,15 @@ def _auto_gather_free(gather_free):
     return bool(gather_free)
 
 
-@functools.partial(jax.jit, static_argnames=("block_len", "gather_free"))
+@functools.partial(
+    jax.jit, static_argnames=("block_len", "gather_free", "max_code_len")
+)
 def encode_blocks(
     data: jnp.ndarray, lens_lut: jnp.ndarray, acodes_lut: jnp.ndarray,
     valid_lens: jnp.ndarray | None = None,
     block_len: int | None = None,
     gather_free: bool | None = None,
+    max_code_len: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack blocks of bytes into Huffman bitstreams.
 
@@ -191,6 +213,9 @@ def encode_blocks(
 
     ``gather_free`` selects the select-tree LUT (default on TPU, where
     gathers are catastrophically slow) vs ``jnp.take`` (default elsewhere).
+    ``max_code_len`` is a static bound on code lengths (pass
+    ``int(lens.max())`` from concrete tables) — it shrinks merge temporaries
+    and the output word count to what the bound allows.
     """
     if data.ndim == 1:
         data = data[None, :]
@@ -206,8 +231,11 @@ def encode_blocks(
         acodes = jnp.where(mask, acodes, jnp.uint32(0))
     vals = acodes[..., None]  # (B, N, 1)
     cur = lens
+    mb = None if max_code_len is None else int(max_code_len)
     while vals.shape[-2] > 1:
-        vals, cur = _merge_level(vals, cur)
+        vals, cur = _merge_level(vals, cur, mb)
+        if mb is not None:
+            mb = min(2 * mb, 32 * vals.shape[-1])
     return vals[..., 0, :], cur[..., 0]
 
 

@@ -133,6 +133,8 @@ def encode_blocks_pallas(
     valid_lens: jnp.ndarray | None = None,
     interpret: bool = False,
     gather_free: bool | None = None,
+    max_code_len: int | None = None,  # accepted for signature parity; the
+    # VMEM kernel's temporaries never touch HBM so the bound buys nothing
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in variant of :func:`tpuhuff.kernels.encode.encode_blocks` that
     runs the merge in the Pallas kernel.  ``data`` (B, N) uint8; B padded to
