@@ -1,0 +1,93 @@
+"""True multi-process multihost test (config 5 shape, CPU backend).
+
+Two OS processes join a ``jax.distributed`` cluster (coordinator on
+localhost), each with 4 virtual CPU devices; each compresses its own byte
+range of a shared file; process 0 writes the ``.hf2``; the test then
+decodes it single-process and compares.  This exercises the real DCN-shaped
+path: global-array construction, cross-process psum histogram, sharded
+pack, ordered allgather — not the single-process degenerate mode.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_DRIVER = """
+import os, sys
+sys.path.insert(0, os.environ["TPUHUFF_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["TPUHUFF_COORD"],
+    num_processes=int(os.environ["TPUHUFF_NPROC"]),
+    process_id=int(os.environ["TPUHUFF_PID"]),
+)
+assert jax.process_count() == int(os.environ["TPUHUFF_NPROC"])
+assert jax.device_count() == 8, jax.device_count()
+from tpuhuff.dist.multihost import compress_file_multihost
+compress_file_multihost(os.environ["TPUHUFF_SRC"], os.environ["TPUHUFF_DST"],
+                        block_len=int(os.environ["TPUHUFF_BLOCK"]))
+print("proc", jax.process_index(), "OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_hf2_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    text = (b"multi host huffman " * 977)[: 11 * 4096 + 123]
+    noise = rng.integers(0, 256, len(text), dtype=np.uint8)
+    data = bytes(np.where(rng.random(len(text)) < 0.05,
+                          noise, np.frombuffer(text, np.uint8)).astype(np.uint8))
+    src = tmp_path / "src.bin"
+    dst = tmp_path / "out.hf2"
+    src.write_bytes(data)
+
+    port = _free_port()
+    env_base = dict(
+        os.environ,
+        TPUHUFF_REPO=REPO,
+        TPUHUFF_COORD=f"127.0.0.1:{port}",
+        TPUHUFF_NPROC="2",
+        TPUHUFF_SRC=str(src),
+        TPUHUFF_DST=str(dst),
+        TPUHUFF_BLOCK="4096",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    procs = []
+    for pid in (0, 1):
+        env = dict(env_base, TPUHUFF_PID=str(pid))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _DRIVER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid} OK" in out
+
+    from tpuhuff.io.stream import read_decompress_write_hf2
+
+    out_file = tmp_path / "roundtrip.bin"
+    read_decompress_write_hf2(str(dst), str(out_file))
+    assert out_file.read_bytes() == data

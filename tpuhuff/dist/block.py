@@ -32,6 +32,7 @@ __all__ = [
     "sharded_histogram",
     "sharded_encode",
     "encode_pipeline",
+    "encode_pipeline_arrays",
     "pad_to_blocks",
 ]
 
@@ -108,17 +109,32 @@ def encode_pipeline(
 
     Returns ``(words (B, N) u32, bit_lens (B,), tree, orig_len)``.
     """
-    from ..core.canonical import build_tree_for_device
-    from ..core.weights import ByteWeights
-
     if mesh is None:
         mesh = make_mesh()
     n_shards = mesh.devices.size
     blocks, valid, orig_len = pad_to_blocks(
         np.asarray(data, dtype=np.uint8).ravel(), block_len, n_shards
     )
-    jblocks = jnp.asarray(blocks)
-    jvalid = jnp.asarray(valid)
+    words, bits, tree = encode_pipeline_arrays(
+        jnp.asarray(blocks), jnp.asarray(valid), mesh, max_code_len
+    )
+    return np.asarray(words), np.asarray(bits), tree, orig_len
+
+
+def encode_pipeline_arrays(
+    jblocks: jnp.ndarray,
+    jvalid: jnp.ndarray,
+    mesh: Mesh,
+    max_code_len: int = 32,
+):
+    """Device-array core of the pipeline: psum histogram -> host tree ->
+    sharded pack.  ``jblocks``/``jvalid`` may be global (multi-process)
+    arrays sharded over ``mesh``; the returned ``(words, bits)`` carry the
+    same block sharding and ``tree`` is identical on every process (the
+    histogram is a global psum)."""
+    from ..core.canonical import build_tree_for_device
+    from ..core.weights import ByteWeights
+
     counts = sharded_histogram(jblocks, jvalid, mesh).astype(np.int64)
     # device codewords live in u32 lanes; on (pathological) trees deeper
     # than 32 the pipeline switches to the optimal length-limited code —
@@ -128,4 +144,4 @@ def encode_pipeline(
     dl, da = make_encode_tables(lens, codes)
     words, bits = sharded_encode(jblocks, jvalid, dl, da, mesh,
                                  max_code_len=int(lens.max()))
-    return np.asarray(words), np.asarray(bits), tree, orig_len
+    return words, bits, tree

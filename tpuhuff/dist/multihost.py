@@ -66,6 +66,18 @@ def host_shard_range(total_len: int, block_len: int) -> Tuple[int, int]:
     return lo_b * block_len, min(hi_b * block_len, total_len)
 
 
+def _per_host_block_quota(total_len: int, block_len: int) -> int:
+    """Blocks each host contributes to the global array: the max any host
+    owns, rounded up to a multiple of the local device count so the 1-D
+    mesh splits evenly.  Hosts with fewer real blocks pad with empty
+    (valid=0) blocks, which emit no bits and no histogram counts."""
+    nproc = jax.process_count()
+    n_blocks = max(1, -(-total_len // block_len))
+    per = -(-n_blocks // nproc)
+    ld = jax.local_device_count()
+    return -(-per // ld) * ld
+
+
 def compress_file_multihost(
     src_path: str, dst_path: str, block_len: int = 65536
 ) -> None:
@@ -76,8 +88,6 @@ def compress_file_multihost(
     Every process calls this with the same paths (SPMD); only process 0
     writes.  Degenerates to the single-host pipeline when run standalone.
     """
-    import os
-
     from ..io.hff import write_hf2
 
     total = os.path.getsize(src_path)
@@ -85,32 +95,97 @@ def compress_file_multihost(
     with open(src_path, "rb") as fp:
         fp.seek(lo)
         local = np.frombuffer(fp.read(hi - lo), dtype=np.uint8)
-    words, bits, tree, _ = compress_multihost(local, block_len=block_len)
-    n_local_blocks = max(1, -(-local.size // block_len)) if local.size else 0
-    bits = bits[:n_local_blocks]
-    words = words[:n_local_blocks]
+    words, bits, tree, _ = compress_multihost(
+        local, block_len=block_len, total_len=total
+    )
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        words = multihost_utils.process_allgather(words).reshape(-1, words.shape[-1])
-        bits = multihost_utils.process_allgather(bits).reshape(-1)
+        quota = _per_host_block_quota(total, block_len)
+        words = words[:quota]
+        bits = bits[:quota]
+        # stacked by process index -> global file order (host_shard_range
+        # assigns contiguous ascending ranges)
+        words_all = multihost_utils.process_allgather(words)
+        bits_all = multihost_utils.process_allgather(bits)
+        # drop each host's quota padding: keep only its real block count
+        n_blocks = max(1, -(-total // block_len))
+        per = -(-n_blocks // jax.process_count())
+        keep_w, keep_b = [], []
+        for h in range(jax.process_count()):
+            real = min(per, max(0, n_blocks - h * per))
+            keep_w.append(words_all[h, :real])
+            keep_b.append(bits_all[h, :real])
+        words = np.concatenate(keep_w, axis=0)
+        bits = np.concatenate(keep_b, axis=0)
+    else:
+        n_blocks = max(1, -(-total // block_len))
+        words = words[:n_blocks]
+        bits = bits[:n_blocks]
     if is_coordinator():
         from . import stitch_words
 
-        payload, _pad = stitch_words(words, bits)
+        payload, _pad = stitch_words(np.asarray(words), np.asarray(bits))
         end_bits = np.cumsum(np.asarray(bits, dtype=np.uint64))
         with open(dst_path, "wb") as out:
             write_hf2(out, tree, total, block_len, end_bits, payload)
 
 
-def compress_multihost(local_data: np.ndarray, block_len: int = 65536):
+def compress_multihost(
+    local_data: np.ndarray, block_len: int = 65536,
+    total_len: Optional[int] = None,
+):
     """Compress this host's shard; returns (words, bits, tree, orig_len).
 
-    The tree is identical on every host (global psum histogram), so host 0
-    can stitch its own blocks' output with other hosts' via a gather of
-    (words, bits) — see io.stream for the file path.  With one process this
-    is exactly the local pipeline.
+    Multi-process: per-host blocks are assembled into one global array
+    sharded over the global 1-D mesh (``host_local_array_to_global_array``),
+    the histogram psum crosses hosts over DCN, and the identical tree is
+    rebuilt on every host from the replicated counts.  The returned
+    ``(words, bits)`` are this host's own blocks (host-local views of the
+    sharded outputs).  With one process this is exactly the local pipeline.
     """
-    mesh = make_mesh()  # all addressable devices; with jax.distributed this
-    # spans the full pod slice because jax.devices() is global
-    return encode_pipeline(local_data, block_len=block_len, mesh=mesh)
+    if jax.process_count() == 1:
+        return encode_pipeline(local_data, block_len=block_len,
+                               mesh=make_mesh())
+
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from .block import encode_pipeline_arrays, pad_to_blocks
+    from .mesh import BLOCK_AXIS
+
+    if total_len is None:
+        total_len = int(
+            multihost_utils.process_allgather(
+                np.asarray([local_data.size], np.int64)
+            ).sum()
+        )
+    quota = _per_host_block_quota(total_len, block_len)
+    blocks, valid, orig_len = pad_to_blocks(
+        np.asarray(local_data, dtype=np.uint8).ravel(), block_len, 1
+    )
+    if blocks.shape[0] > quota:
+        raise ValueError(
+            f"host shard has {blocks.shape[0]} blocks > quota {quota}"
+        )
+    if blocks.shape[0] < quota:
+        extra = quota - blocks.shape[0]
+        blocks = np.concatenate(
+            [blocks, np.zeros((extra, block_len), np.uint8)], axis=0
+        )
+        valid = np.concatenate([valid, np.zeros(extra, np.int32)])
+    mesh = make_mesh()  # global: jax.devices() spans all processes
+    gblocks = multihost_utils.host_local_array_to_global_array(
+        blocks, mesh, P(BLOCK_AXIS)
+    )
+    gvalid = multihost_utils.host_local_array_to_global_array(
+        valid, mesh, P(BLOCK_AXIS)
+    )
+    words_g, bits_g, tree = encode_pipeline_arrays(gblocks, gvalid, mesh)
+    words = multihost_utils.global_array_to_host_local_array(
+        words_g, mesh, P(BLOCK_AXIS)
+    )
+    bits = multihost_utils.global_array_to_host_local_array(
+        bits_g, mesh, P(BLOCK_AXIS)
+    )
+    return np.asarray(words), np.asarray(bits), tree, orig_len
