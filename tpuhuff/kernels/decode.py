@@ -1,4 +1,4 @@
-"""Device decode: lane-parallel prefix-code decoding in JAX/XLA.
+"""Device decode: lane-parallel prefix-code decoding in JAX/XLA, gather-free.
 
 The parallel replacement for the reference's bit-serial tree walk
 (`/root/reference/huff_coding/src/comp.rs:487-519`).  A serial prefix-code
@@ -7,20 +7,26 @@ stream cannot be split mid-stream, so parallelism comes from **blocks**: the
 and every block becomes a *lane* that decodes independently — hundreds to
 thousands of lanes advance one symbol per step, all vectorized.
 
-Per step, each lane:
+TPU constraint: gathers are catastrophically slow on this backend (a
+``take_along_axis`` window fetch measured ~0.03 GB/s), so the decoder is
+**fully gather-free**:
 
-1. fetches a 32-bit window at its bit cursor (two u32 loads from its own
-   row via ``take_along_axis``),
-2. finds the matching leaf by counting interval thresholds <= window —
-   for ANY prefix tree, left-to-right leaves have ascending left-aligned
-   code values, so the 32-bit window space is partitioned into <= 256
-   sorted intervals (no canonical-code assumption, so reference-built
-   ``.hff`` trees work unchanged),
-3. looks up (symbol, code length) for the interval via one-hot matmul
-   (MXU-friendly), emits, and advances its cursor by the length.
+* The 32-bit window always reads words 0 and 1 of a per-lane word buffer
+  carried as scan state.  Code lengths are <= 32, so the bit cursor crosses
+  at most one word boundary per step — the buffer is conditionally ROLLED
+  left one word (static concatenate + ``where``), never indexed.
+* Leaf lookup is an 8-level binary search over the 256 sorted interval
+  thresholds, realized as select trees over static strided slices
+  (~250 fused ``where`` ops — the same structure as the encoder's LUT,
+  measured ~50 GB/s).  Intervals work for ANY prefix tree: left-to-right
+  leaves have ascending left-aligned code values partitioning [0, 2^32),
+  so reference-built ``.hff`` trees decode unchanged (no canonical-code
+  assumption).
+* (symbol, length) come from 4-per-word packed tables via 64-entry select
+  trees plus a variable shift.
 
-Lanes whose streams are exhausted idle (masked).  The step count is the
-block byte length — each step emits exactly one symbol per active lane.
+Each step emits exactly one symbol per lane, so the output position is the
+step index — stacked by ``lax.scan``, no scatter.
 """
 
 from __future__ import annotations
@@ -33,16 +39,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.tree import HuffTree
+from .encode import _select_tree
 
 __all__ = ["make_decode_tables", "decode_blocks_device", "payload_to_lane_words"]
 
 
-def make_decode_tables(tree: HuffTree):
-    """Interval tables: (thresholds u32[K], symbols i32[K], lens i32[K]).
+def _pack4(vals: np.ndarray) -> np.ndarray:
+    """Pack a (256,) byte-valued table into (64,) u32, 4 entries per word."""
+    v = vals.astype(np.uint32) & 0xFF
+    return v[0::4] | (v[1::4] << 8) | (v[2::4] << 16) | (v[3::4] << 24)
 
-    K = number of leaves; ``thresholds[k]`` is the left-aligned (bit-31)
-    value of leaf k's code in left-to-right order — ascending for any
-    binary tree, partitioning [0, 2^32).
+
+def make_decode_tables(tree: HuffTree):
+    """Interval tables, padded to a fixed 256 entries and packed.
+
+    Returns ``(thr u32[256], sym4 u32[64], len4 u32[64])``: ``thr[k]`` is
+    the left-aligned (bit-31) value of leaf k's code in left-to-right
+    order — ascending for any binary tree.  Entries past the real leaf
+    count duplicate the last leaf (the upper-bound search then still
+    resolves to a correct (symbol, length) pair).
     """
     codes = tree.read_codes()
     items = []
@@ -52,10 +67,22 @@ def make_decode_tables(tree: HuffTree):
         aligned = code.value << (32 - code.length)
         items.append((aligned, int(letter), code.length))
     items.sort()
-    thresholds = np.array([a for a, _, _ in items], dtype=np.uint32)
-    symbols = np.array([s for _, s, _ in items], dtype=np.int32)
-    lens = np.array([l for _, _, l in items], dtype=np.int32)
-    return jnp.asarray(thresholds), jnp.asarray(symbols), jnp.asarray(lens)
+    K = len(items)
+    thr = np.zeros(256, dtype=np.uint32)
+    syms = np.zeros(256, dtype=np.uint8)
+    lens = np.zeros(256, dtype=np.uint8)
+    thr[:K] = [a for a, _, _ in items]
+    syms[:K] = [s for _, s, _ in items]
+    lens[:K] = [l for _, _, l in items]
+    if K < 256:
+        thr[K:] = thr[K - 1]
+        syms[K:] = syms[K - 1]
+        lens[K:] = lens[K - 1]
+    return (
+        jnp.asarray(thr),
+        jnp.asarray(_pack4(syms)),
+        jnp.asarray(_pack4(lens)),
+    )
 
 
 def payload_to_lane_words(
@@ -68,7 +95,8 @@ def payload_to_lane_words(
 
     Lane k's words start at the u32 word containing ``start_bits[k]``;
     returns ``(rows (B, Wmax) uint32, bit0 (B,) int32)`` where ``bit0`` is
-    the start bit offset within each row.  Wmax covers the worst block.
+    the start bit offset within each row.  Wmax covers the worst block plus
+    a slack word so the 2-word window never reads past the row.
     """
     raw = np.frombuffer(bytes(payload), dtype=np.uint8) if not isinstance(
         payload, np.ndarray
@@ -81,11 +109,45 @@ def payload_to_lane_words(
     B = start_bits.size
     start_w = (start_bits // 32).astype(np.int64)
     end_w = ((end_bits + 31) // 32).astype(np.int64)
-    Wmax = int(np.max(end_w - start_w + 1, initial=1))
+    Wmax = int(np.max(end_w - start_w + 1, initial=1)) + 1
     idx = np.minimum(start_w[:, None] + np.arange(Wmax)[None, :], words.size - 1)
     rows = words[idx]
+    # zero the slack tail beyond each lane's own payload words is not
+    # needed: the active mask stops the cursor at nbits exactly.
     bit0 = (start_bits - start_w * 32).astype(np.int32)
     return rows, bit0
+
+
+def _search_leaf(window: jnp.ndarray, thr: jnp.ndarray):
+    """Upper-bound binary search: idx = count(thr <= window) - 1.
+
+    8 levels; level k compares against a candidate chosen by the k bits
+    already decided — a select tree over the static strided slice
+    ``thr[2^(7-k)::2^(8-k)]``.  Returns the 8 index bits, MSB first.
+    """
+    bits_msb = []  # b0 = idx bit 7 (MSB) ... b7 = idx bit 0
+    for k in range(8):
+        step = 1 << (7 - k)
+        cands = thr[step::2 * step]  # (2^k,) static strided slice
+        if k == 0:
+            cand = cands[0]
+        else:
+            # select by the already-decided high bits; bits list is
+            # LSB-first of the candidate index = reversed(bits_msb)
+            cand = _select_tree(list(reversed(bits_msb)), cands, 0, 1 << k)
+        bits_msb.append(window >= cand)
+    return bits_msb
+
+
+def _packed4_lookup(bits_msb, table4: jnp.ndarray) -> jnp.ndarray:
+    """Look up a byte from a 4-per-word packed (64,) table given the 8
+    index bits (MSB first)."""
+    word_bits_lsb = list(reversed(bits_msb[:6]))  # idx >> 2, LSB first
+    word = _select_tree(word_bits_lsb, table4, 0, 64)
+    lane2 = (
+        bits_msb[6].astype(jnp.uint32) * 2 + bits_msb[7].astype(jnp.uint32)
+    )
+    return (word >> (lane2 * 8)) & jnp.uint32(0xFF)
 
 
 @functools.partial(jax.jit, static_argnames=("block_len",))
@@ -93,48 +155,53 @@ def decode_blocks_device(
     rows: jnp.ndarray,
     bit0: jnp.ndarray,
     nbits: jnp.ndarray,
-    thresholds: jnp.ndarray,
-    symbols: jnp.ndarray,
-    lens: jnp.ndarray,
+    thr: jnp.ndarray,
+    sym4: jnp.ndarray,
+    len4: jnp.ndarray,
     block_len: int,
 ) -> jnp.ndarray:
     """Decode B lanes of up to ``block_len`` symbols each.
 
     ``rows``: (B, W) u32 per-lane word arrays (MSB-first bit order).
     ``bit0``/``nbits``: per-lane start offset within the row and payload bit
-    count.  Returns (B, block_len) uint8 (undefined beyond each lane's
-    symbol count).
+    count.  Returns (B, block_len) uint8 (zero beyond each lane's symbol
+    count).
     """
     B, W = rows.shape
-    K = thresholds.shape[0]
-    thr = thresholds.astype(jnp.uint32)[None, :]  # (1, K)
-    lens_f = lens.astype(jnp.int32)
-    syms_f = symbols.astype(jnp.int32)
+    thr = thr.astype(jnp.uint32)
 
     def step(state, _):
-        pos, = state
-        widx = (pos >> 5).astype(jnp.int32)
-        r = (pos & 31).astype(jnp.uint32)
-        w0 = jnp.take_along_axis(rows, widx[:, None], axis=1)[:, 0]
-        w1 = jnp.take_along_axis(rows, (widx + 1)[:, None], axis=1)[:, 0]
-        hi = jnp.where(r == 0, w0, (w0 << r))
-        lo = jnp.where(r == 0, jnp.uint32(0), (w1 >> ((jnp.uint32(32) - r) & 31)))
+        buf, r, consumed = state  # (B, W) u32, (B,) i32 in [0,32), (B,) i32
+        r32 = r.astype(jnp.uint32)
+        w0 = buf[:, 0]
+        w1 = buf[:, 1]
+        hi = jnp.where(r32 == 0, w0, w0 << r32)
+        lo = jnp.where(r32 == 0, jnp.uint32(0), w1 >> ((jnp.uint32(32) - r32) & 31))
         window = hi | lo  # next 32 bits, MSB-aligned
-        # interval search: index = count(thresholds <= window) - 1
-        idx = jnp.sum((thr <= window[:, None]).astype(jnp.int32), axis=1) - 1
-        # one-hot lookups of (symbol, len) — MXU-friendly contraction
-        onehot = (idx[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :])
-        sym = jnp.sum(jnp.where(onehot, syms_f[None, :], 0), axis=1)
-        ln = jnp.sum(jnp.where(onehot, lens_f[None, :], 0), axis=1)
-        active = pos + ln <= bit0 + nbits
-        new_pos = jnp.where(active, pos + ln, pos)
+        bits_msb = _search_leaf(window, thr)
+        sym = _packed4_lookup(bits_msb, sym4)
+        ln = _packed4_lookup(bits_msb, len4).astype(jnp.int32)
+        active = consumed + ln <= nbits
+        ln = jnp.where(active, ln, 0)
         out_sym = jnp.where(active, sym, 0).astype(jnp.uint8)
-        return (new_pos,), out_sym
+        nr = r + ln
+        adv = nr >= 32
+        rolled = jnp.concatenate(
+            [buf[:, 1:], jnp.zeros((B, 1), jnp.uint32)], axis=1
+        )
+        buf = jnp.where(adv[:, None], rolled, buf)
+        return (buf, nr & 31, consumed + ln), out_sym
 
-    (final_pos,), out = jax.lax.scan(
-        step, (bit0.astype(jnp.int32),), None, length=block_len
+    # normalize the start offset into the word buffer: bit0 < 32 by
+    # construction (payload_to_lane_words), so the initial roll state is
+    # rows itself with r = bit0.
+    (_, _, _), out = jax.lax.scan(
+        step,
+        (rows.astype(jnp.uint32), bit0.astype(jnp.int32),
+         jnp.zeros_like(bit0, jnp.int32)),
+        None,
+        length=block_len,
     )
-    del final_pos
     return out.T  # (B, block_len)
 
 
@@ -143,11 +210,11 @@ def decode_hf2_device(header, payload: bytes) -> bytes:
     ends = header.end_bits.astype(np.int64)
     starts = np.concatenate([[0], ends[:-1]])
     rows, bit0 = payload_to_lane_words(payload, starts, ends, header.block_len)
-    thr, syms, lens = make_decode_tables(header.tree)
+    thr, sym4, len4 = make_decode_tables(header.tree)
     nbits = (ends - starts).astype(np.int32)
     out = decode_blocks_device(
         jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(nbits),
-        thr, syms, lens, header.block_len,
+        thr, sym4, len4, header.block_len,
     )
     out = np.asarray(out)
     B = header.num_blocks
