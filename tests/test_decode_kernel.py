@@ -56,6 +56,46 @@ def test_decode_blocks_device_roundtrip(alphabet):
         assert np.array_equal(out[b, : blk.size], blk), b
 
 
+@pytest.mark.parametrize("unroll", [2, 4, 8])
+@pytest.mark.parametrize("alphabet", [2, 41, 256])
+def test_decode_blocks_device_unrolled(alphabet, unroll):
+    rng = np.random.default_rng(alphabet * 31 + unroll)
+    block_len = 256
+    data = rng.integers(0, alphabet, 8 * block_len - 77, dtype=np.uint8)
+    tree = HuffTree.from_weights(ByteWeights.from_bytes(data))
+    payload, starts, ends = _encode_blocks_host(data, block_len, tree)
+    rows, bit0 = payload_to_lane_words(payload, starts, ends, block_len)
+    thr, syms, lens_t = make_decode_tables(tree)
+    out = np.asarray(
+        decode_blocks_device(
+            jnp.asarray(rows), jnp.asarray(bit0),
+            jnp.asarray((ends - starts).astype(np.int32)),
+            thr, syms, lens_t, block_len, unroll=unroll,
+        )
+    )
+    for b in range(starts.size):
+        blk = data[b * block_len : (b + 1) * block_len]
+        assert np.array_equal(out[b, : blk.size], blk), b
+
+
+def test_decode_unrolled_deep_tree_narrow_rows():
+    # rows narrower than unroll+1 words must be padded internally
+    data = np.frombuffer(b"ab" * 40, dtype=np.uint8).copy()
+    tree = HuffTree.from_weights(ByteWeights.from_bytes(data))
+    payload, starts, ends = _encode_blocks_host(data, 16, tree)
+    rows, bit0 = payload_to_lane_words(payload, starts, ends, 16)
+    assert rows.shape[1] < 9
+    thr, syms, lens_t = make_decode_tables(tree)
+    out = np.asarray(
+        decode_blocks_device(
+            jnp.asarray(rows), jnp.asarray(bit0),
+            jnp.asarray((ends - starts).astype(np.int32)),
+            thr, syms, lens_t, 16, unroll=8,
+        )
+    )
+    assert np.array_equal(out.reshape(-1)[: data.size], data)
+
+
 def test_decode_single_letter_tree():
     data = np.zeros(100, dtype=np.uint8)
     tree = HuffTree.from_weights(ByteWeights.from_bytes(data))

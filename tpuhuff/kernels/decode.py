@@ -118,6 +118,19 @@ def payload_to_lane_words(
     return rows, bit0
 
 
+def _select_list(bits, items, lo: int, size: int):
+    """Select ``items[index]`` from a list of same-shaped arrays by the
+    boolean index bits (LSB first); indices past ``len(items)`` are
+    unreachable by construction and clamp to the last item."""
+    if size == 1:
+        return items[min(lo, len(items) - 1)]
+    half = size // 2
+    level = half.bit_length() - 1
+    lo_v = _select_list(bits, items, lo, half)
+    hi_v = _select_list(bits, items, lo + half, half)
+    return jnp.where(bits[level], hi_v, lo_v)
+
+
 def _search_leaf(window: jnp.ndarray, thr: jnp.ndarray):
     """Upper-bound binary search: idx = count(thr <= window) - 1.
 
@@ -150,7 +163,7 @@ def _packed4_lookup(bits_msb, table4: jnp.ndarray) -> jnp.ndarray:
     return (word >> (lane2 * 8)) & jnp.uint32(0xFF)
 
 
-@functools.partial(jax.jit, static_argnames=("block_len",))
+@functools.partial(jax.jit, static_argnames=("block_len", "unroll"))
 def decode_blocks_device(
     rows: jnp.ndarray,
     bit0: jnp.ndarray,
@@ -159,6 +172,7 @@ def decode_blocks_device(
     sym4: jnp.ndarray,
     len4: jnp.ndarray,
     block_len: int,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Decode B lanes of up to ``block_len`` symbols each.
 
@@ -166,31 +180,64 @@ def decode_blocks_device(
     ``bit0``/``nbits``: per-lane start offset within the row and payload bit
     count.  Returns (B, block_len) uint8 (zero beyond each lane's symbol
     count).
+
+    ``unroll`` = S decodes S symbols per scan step from a register-resident
+    (S+1)-word window, rolling the HBM word buffer once per step (by 0..S
+    words via a log2 select tree) instead of once per symbol.  The buffer
+    read+write is the measured bottleneck (session 5: throughput scales
+    ~1/block_len), so S-way unrolling divides that traffic by ~S.
     """
+    S = int(unroll)
+    assert S >= 1 and block_len % S == 0, "unroll must divide block_len"
     B, W = rows.shape
+    if W < S + 1:  # the register window reads static columns 0..S
+        rows = jnp.pad(rows, ((0, 0), (0, S + 1 - W)))
+        W = S + 1
     thr = thr.astype(jnp.uint32)
 
     def step(state, _):
         buf, r, consumed = state  # (B, W) u32, (B,) i32 in [0,32), (B,) i32
-        r32 = r.astype(jnp.uint32)
-        w0 = buf[:, 0]
-        w1 = buf[:, 1]
-        hi = jnp.where(r32 == 0, w0, w0 << r32)
-        lo = jnp.where(r32 == 0, jnp.uint32(0), w1 >> ((jnp.uint32(32) - r32) & 31))
-        window = hi | lo  # next 32 bits, MSB-aligned
-        bits_msb = _search_leaf(window, thr)
-        sym = _packed4_lookup(bits_msb, sym4)
-        ln = _packed4_lookup(bits_msb, len4).astype(jnp.int32)
-        active = consumed + ln <= nbits
-        ln = jnp.where(active, ln, 0)
-        out_sym = jnp.where(active, sym, 0).astype(jnp.uint8)
-        nr = r + ln
-        adv = nr >= 32
-        rolled = jnp.concatenate(
-            [buf[:, 1:], jnp.zeros((B, 1), jnp.uint32)], axis=1
-        )
-        buf = jnp.where(adv[:, None], rolled, buf)
-        return (buf, nr & 31, consumed + ln), out_sym
+        # registers: the next S+1 words of every lane (static slices)
+        win = [buf[:, j] for j in range(S + 1)]
+        cur = r  # bit cursor within the window, < 32 + s*32 before sub-step s
+        syms = []
+        for s in range(S):
+            q = cur >> 5  # word index in [0, s] (<= S - 1)
+            rr = (cur & 31).astype(jnp.uint32)
+            if s == 0:
+                w0, w1 = win[0], win[1]
+            else:
+                nsel = 1
+                while nsel <= s:
+                    nsel *= 2
+                qb = [((q >> k) & 1) == 1 for k in range(nsel.bit_length() - 1)]
+                w0 = _select_list(qb, win[: s + 1], 0, nsel)
+                w1 = _select_list(qb, win[1 : s + 2], 0, nsel)
+            hi = jnp.where(rr == 0, w0, w0 << rr)
+            lo = jnp.where(rr == 0, jnp.uint32(0), w1 >> ((jnp.uint32(32) - rr) & 31))
+            window = hi | lo  # next 32 bits, MSB-aligned
+            bits_msb = _search_leaf(window, thr)
+            sym = _packed4_lookup(bits_msb, sym4)
+            ln = _packed4_lookup(bits_msb, len4).astype(jnp.int32)
+            active = consumed + ln <= nbits
+            ln = jnp.where(active, ln, 0)
+            syms.append(jnp.where(active, sym, 0).astype(jnp.uint8))
+            cur = cur + ln
+            consumed = consumed + ln
+        # one buffer roll by cur >> 5 in [0, S] words (select tree over the
+        # shift bits — XLA fuses into a single stencil read+write pass)
+        qt = cur >> 5
+        stepw = 1
+        bit = 0
+        while stepw <= S:
+            rolled = jnp.concatenate(
+                [buf[:, stepw:], jnp.zeros((B, stepw), jnp.uint32)], axis=1
+            )
+            buf = jnp.where((((qt >> bit) & 1) == 1)[:, None], rolled, buf)
+            stepw *= 2
+            bit += 1
+        out = syms[0] if S == 1 else jnp.stack(syms, axis=-1)  # (B,) or (B, S)
+        return (buf, cur & 31, consumed), out
 
     # normalize the start offset into the word buffer: bit0 < 32 by
     # construction (payload_to_lane_words), so the initial roll state is
@@ -200,9 +247,12 @@ def decode_blocks_device(
         (rows.astype(jnp.uint32), bit0.astype(jnp.int32),
          jnp.zeros_like(bit0, jnp.int32)),
         None,
-        length=block_len,
+        length=block_len // S,
     )
-    return out.T  # (B, block_len)
+    if S == 1:
+        return out.T  # (steps, B) -> (B, block_len)
+    # (steps, B, S) -> (B, steps*S)
+    return jnp.transpose(out, (1, 0, 2)).reshape(B, block_len)
 
 
 def decode_hf2_device(header, payload: bytes) -> bytes:
