@@ -126,6 +126,47 @@ def test_hf2_header_fields(tmpfiles):
     assert (np.diff(hdr.end_bits.astype(np.int64)) > 0).all()
 
 
+def test_hf2_v1_read_compat(tmpfiles):
+    # version-1 files (u64 cumulative end-bit table) must still decode
+    from tpuhuff.core.weights import ByteWeights
+    from tpuhuff.core.tree import HuffTree
+    from tpuhuff.core.codec import pack_codes_u8
+    from tpuhuff.io.hff import write_hf2
+
+    data = b"v1 compat " * 500
+    src, _, back = tmpfiles(data)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    tree = HuffTree.from_weights(ByteWeights.from_bytes(arr))
+    lens, codes = tree.encode_tables()
+    payload, pad = pack_codes_u8(arr, lens, codes)
+    nbits = len(payload) * 8 - pad
+    hf2 = src + ".hf2"
+    with open(hf2, "wb") as fp:
+        write_hf2(fp, tree, len(data), len(data),
+                  np.array([nbits], dtype=np.uint64), payload, version=1)
+    with open(hf2, "rb") as fp:
+        hdr = read_hf2_header(fp)
+    assert hdr.end_bits[-1] == nbits and hdr.orig_len == len(data)
+    read_decompress_write_hf2(hf2, back)
+    assert open(back, "rb").read() == data
+
+
+def test_hf2_v2_table_is_compact(tmpfiles):
+    # default v2 container: u16 per-block lengths for small blocks
+    data = np.random.default_rng(2).integers(0, 200, 64 * 1024, dtype=np.uint8)
+    src, _, _ = tmpfiles(data.tobytes())
+    hf2 = src + ".hf2"
+    read_compress_write_hf2(src, hf2, block_len=512)
+    raw = open(hf2, "rb").read()
+    assert raw[:4] == b"HF2\x02" and raw[5] == 2  # u16 entries
+    n_blocks = 64 * 1024 // 512
+    # table is 2 bytes/block; the v1 layout would be 8
+    with open(hf2, "rb") as fp:
+        hdr = read_hf2_header(fp)
+    assert hdr.num_blocks == n_blocks
+    assert hdr.payload_offset < 27 + 2 * n_blocks + 1024
+
+
 def test_hf2_device_path_matches_host(tmpfiles):
     data = np.random.default_rng(9).integers(0, 100, 20_000, dtype=np.uint8).tobytes()
     src, _, back = tmpfiles(data)

@@ -13,23 +13,29 @@ bytes 5..  : tree bits, then payload bits
 ``.hf2`` — tpuhuff's block-indexed container for parallel decode.  The
 reference format carries no block boundaries, forcing bit-serial decode
 (SURVEY §5 "Checkpoint/resume": add per-block offsets for parallel
-decode).  ``.hf2`` wraps the same tree encoding plus a block table:
+decode).  ``.hf2`` wraps the same tree encoding plus a block table.
+
+Version 2 (written by default) stores per-block bit *lengths* at the
+minimal integer width, making small blocks cheap (small blocks are the
+device throughput lever — both codec kernels' HBM traffic scales with
+block length, sessions 5-7):
 
 ```
-bytes 0..4   : magic "HF2\\x01"
-byte  4     : flags (bit0: tree is canonical)
-bytes 5..9   : u32 BE tree byte length T
-byte  9     : tree padding bits
-bytes 10..18 : u64 BE original data length
-bytes 18..22 : u32 BE block length (bytes of input per block)
-bytes 22..26 : u32 BE number of blocks B
-bytes 26..26+8B : u64 BE end-bit offset of each block within the payload
+bytes 0..4   : magic "HF2\\x02"
+byte  4      : flags (bit0: tree is canonical)
+byte  5      : block-table entry width in bytes (2, 4, or 8)
+bytes 6..10  : u32 BE tree byte length T
+byte  10     : tree padding bits
+bytes 11..19 : u64 BE original data length
+bytes 19..23 : u32 BE block length (bytes of input per block)
+bytes 23..27 : u32 BE number of blocks B
+bytes ..+wB  : per-block payload BIT LENGTH, width w each, big-endian
 bytes ..+T   : tree bits (zero-padded)
 bytes ..     : payload (all block bitstreams bit-concatenated, zero-padded)
 ```
 
-End-bit offsets (cumulative) rather than lengths so a decoder can seek any
-block with one read.
+Version 1 (still read) differs in the table: no width byte, and the table
+holds u64 BE cumulative end-bit offsets instead of lengths.
 """
 
 from __future__ import annotations
@@ -46,7 +52,8 @@ from ..core.tree import HuffTree
 __all__ = ["HFF_MAGIC_NONE", "HF2_MAGIC", "Hf2Header", "write_hf2", "read_hf2_header"]
 
 HFF_MAGIC_NONE = b""  # .hff has no magic — format is positional
-HF2_MAGIC = b"HF2\x01"
+HF2_MAGIC_V1 = b"HF2\x01"
+HF2_MAGIC = b"HF2\x02"
 
 
 @dataclass
@@ -75,34 +82,64 @@ def write_hf2(
     end_bits: np.ndarray,
     payload: bytes,
     canonical: bool = False,
+    version: int = 2,
 ) -> None:
     tree_bin = tree.as_bin()
     tree_padding = calc_padding_bits(len(tree_bin))
     tree_bytes = tree_bin.to_bytes()
-    fp.write(HF2_MAGIC)
-    fp.write(bytes([1 if canonical else 0]))
-    fp.write(struct.pack(">I", len(tree_bytes)))
-    fp.write(bytes([tree_padding]))
-    fp.write(struct.pack(">Q", orig_len))
-    fp.write(struct.pack(">I", block_len))
     end = np.ascontiguousarray(end_bits, dtype=np.uint64)
-    fp.write(struct.pack(">I", end.size))
-    fp.write(end.astype(">u8").tobytes())
+    if version == 1:
+        fp.write(HF2_MAGIC_V1)
+        fp.write(bytes([1 if canonical else 0]))
+        fp.write(struct.pack(">I", len(tree_bytes)))
+        fp.write(bytes([tree_padding]))
+        fp.write(struct.pack(">Q", orig_len))
+        fp.write(struct.pack(">I", block_len))
+        fp.write(struct.pack(">I", end.size))
+        fp.write(end.astype(">u8").tobytes())
+    elif version == 2:
+        lens = np.diff(end, prepend=np.uint64(0))
+        mx = int(lens.max(initial=0))
+        width = 2 if mx < (1 << 16) else 4 if mx < (1 << 32) else 8
+        fp.write(HF2_MAGIC)
+        fp.write(bytes([1 if canonical else 0]))
+        fp.write(bytes([width]))
+        fp.write(struct.pack(">I", len(tree_bytes)))
+        fp.write(bytes([tree_padding]))
+        fp.write(struct.pack(">Q", orig_len))
+        fp.write(struct.pack(">I", block_len))
+        fp.write(struct.pack(">I", end.size))
+        fp.write(lens.astype(f">u{width}").tobytes())
+    else:
+        raise ValueError(f"unknown hf2 version {version}")
     fp.write(tree_bytes)
     fp.write(payload)
 
 
 def read_hf2_header(fp: BinaryIO) -> Hf2Header:
     magic = fp.read(4)
-    if magic != HF2_MAGIC:
+    if magic not in (HF2_MAGIC, HF2_MAGIC_V1):
         raise ValueError("not an hf2 file (bad magic)")
     flags = fp.read(1)[0]
+    width = 0
+    if magic == HF2_MAGIC:
+        width = fp.read(1)[0]
+        if width not in (2, 4, 8):
+            raise ValueError(f"hf2: invalid block-table width {width}")
     (tree_len,) = struct.unpack(">I", fp.read(4))
     tree_padding = fp.read(1)[0]
     (orig_len,) = struct.unpack(">Q", fp.read(8))
     (block_len,) = struct.unpack(">I", fp.read(4))
     (n_blocks,) = struct.unpack(">I", fp.read(4))
-    end_bits = np.frombuffer(fp.read(8 * n_blocks), dtype=">u8").astype(np.uint64)
+    if magic == HF2_MAGIC:
+        lens = np.frombuffer(fp.read(width * n_blocks), dtype=f">u{width}")
+        if lens.size != n_blocks:
+            raise ValueError("hf2: truncated block table")
+        end_bits = np.cumsum(lens.astype(np.uint64))
+    else:
+        end_bits = np.frombuffer(fp.read(8 * n_blocks), dtype=">u8").astype(
+            np.uint64
+        )
     tree_bytes = fp.read(tree_len)
     if len(tree_bytes) != tree_len:
         raise ValueError("hf2: truncated tree")

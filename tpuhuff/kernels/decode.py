@@ -163,7 +163,9 @@ def _packed4_lookup(bits_msb, table4: jnp.ndarray) -> jnp.ndarray:
     return (word >> (lane2 * 8)) & jnp.uint32(0xFF)
 
 
-@functools.partial(jax.jit, static_argnames=("block_len", "unroll"))
+@functools.partial(
+    jax.jit, static_argnames=("block_len", "unroll", "transposed")
+)
 def decode_blocks_device(
     rows: jnp.ndarray,
     bit0: jnp.ndarray,
@@ -173,6 +175,7 @@ def decode_blocks_device(
     len4: jnp.ndarray,
     block_len: int,
     unroll: int = 1,
+    transposed: bool = True,
 ) -> jnp.ndarray:
     """Decode B lanes of up to ``block_len`` symbols each.
 
@@ -186,6 +189,11 @@ def decode_blocks_device(
     words via a log2 select tree) instead of once per symbol.  The buffer
     read+write is the measured bottleneck (session 5: throughput scales
     ~1/block_len), so S-way unrolling divides that traffic by ~S.
+
+    ``transposed`` carries the word buffer as (W, B) so the (large,
+    128-multiple) block axis lands in the TPU lane dimension; the (B, W)
+    layout pads W up to 128 lanes and wastes most of them for small blocks
+    (session 7: this padding, not raw traffic, capped throughput).
     """
     S = int(unroll)
     assert S >= 1 and block_len % S == 0, "unroll must divide block_len"
@@ -196,9 +204,11 @@ def decode_blocks_device(
     thr = thr.astype(jnp.uint32)
 
     def step(state, _):
-        buf, r, consumed = state  # (B, W) u32, (B,) i32 in [0,32), (B,) i32
+        buf, r, consumed = state  # (B, W)|(W, B) u32, (B,) i32, (B,) i32
         # registers: the next S+1 words of every lane (static slices)
-        win = [buf[:, j] for j in range(S + 1)]
+        win = [buf[j] for j in range(S + 1)] if transposed else [
+            buf[:, j] for j in range(S + 1)
+        ]
         cur = r  # bit cursor within the window, < 32 + s*32 before sub-step s
         syms = []
         for s in range(S):
@@ -230,10 +240,17 @@ def decode_blocks_device(
         stepw = 1
         bit = 0
         while stepw <= S:
-            rolled = jnp.concatenate(
-                [buf[:, stepw:], jnp.zeros((B, stepw), jnp.uint32)], axis=1
-            )
-            buf = jnp.where((((qt >> bit) & 1) == 1)[:, None], rolled, buf)
+            m = ((qt >> bit) & 1) == 1
+            if transposed:
+                rolled = jnp.concatenate(
+                    [buf[stepw:], jnp.zeros((stepw, B), jnp.uint32)], axis=0
+                )
+                buf = jnp.where(m[None, :], rolled, buf)
+            else:
+                rolled = jnp.concatenate(
+                    [buf[:, stepw:], jnp.zeros((B, stepw), jnp.uint32)], axis=1
+                )
+                buf = jnp.where(m[:, None], rolled, buf)
             stepw *= 2
             bit += 1
         out = syms[0] if S == 1 else jnp.stack(syms, axis=-1)  # (B,) or (B, S)
@@ -242,10 +259,12 @@ def decode_blocks_device(
     # normalize the start offset into the word buffer: bit0 < 32 by
     # construction (payload_to_lane_words), so the initial roll state is
     # rows itself with r = bit0.
+    buf0 = rows.astype(jnp.uint32)
+    if transposed:
+        buf0 = buf0.T
     (_, _, _), out = jax.lax.scan(
         step,
-        (rows.astype(jnp.uint32), bit0.astype(jnp.int32),
-         jnp.zeros_like(bit0, jnp.int32)),
+        (buf0, bit0.astype(jnp.int32), jnp.zeros_like(bit0, jnp.int32)),
         None,
         length=block_len // S,
     )
@@ -255,21 +274,24 @@ def decode_blocks_device(
     return jnp.transpose(out, (1, 0, 2)).reshape(B, block_len)
 
 
-def decode_hf2_device(header, payload: bytes) -> bytes:
+def decode_hf2_device(header, payload: bytes, unroll: int | None = None) -> bytes:
     """Decode a whole .hf2 payload on device; returns the original bytes."""
     ends = header.end_bits.astype(np.int64)
     starts = np.concatenate([[0], ends[:-1]])
     rows, bit0 = payload_to_lane_words(payload, starts, ends, header.block_len)
     thr, sym4, len4 = make_decode_tables(header.tree)
     nbits = (ends - starts).astype(np.int32)
+    if unroll is None:  # widest unroll dividing block_len (HW sweet spot: 8);
+        # plain scan off-TPU — the wide unrolled step compiles slowly on CPU
+        try:
+            cands = (8, 4, 2, 1) if jax.default_backend() == "tpu" else (1,)
+        except Exception:
+            cands = (1,)
+        unroll = next(s for s in cands if header.block_len % s == 0)
     out = decode_blocks_device(
         jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(nbits),
-        thr, sym4, len4, header.block_len,
+        thr, sym4, len4, header.block_len, unroll=unroll,
     )
-    out = np.asarray(out)
-    B = header.num_blocks
-    result = np.zeros(header.orig_len, dtype=np.uint8)
-    for k in range(B):
-        cap = min(header.block_len, header.orig_len - k * header.block_len)
-        result[k * header.block_len : k * header.block_len + cap] = out[k, :cap]
-    return result.tobytes()
+    # rows are block_len apart in the original stream, so the flat view is
+    # the stream itself (padding symbols land past orig_len and are cut)
+    return np.asarray(out).reshape(-1)[: header.orig_len].tobytes()

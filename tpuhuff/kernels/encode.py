@@ -184,6 +184,57 @@ def _merge_level(
     return A_ext | shifted, la + lb
 
 
+def _shift_right_bits_t(
+    vals: jnp.ndarray, shift: jnp.ndarray, out_w: int,
+    max_shift: int | None = None,
+) -> jnp.ndarray:
+    """Transposed-layout twin of :func:`_shift_right_bits`.
+
+    ``vals``: (n, W, B) with words on axis 1 and the (128-multiple) block
+    axis last, so every elementwise op runs with blocks in the TPU lane
+    dimension — no lane padding for small W (session 7: the (B, W) layout's
+    padding of W up to 128 lanes capped throughput).  ``shift``: (n, B).
+    """
+    W = vals.shape[1]
+    x = jnp.pad(vals, ((0, 0), (0, out_w - W), (0, 0)))
+    q = (shift >> 5).astype(jnp.int32)
+    r = (shift & 31).astype(jnp.uint32)
+    maxq = max_shift >> 5 if max_shift is not None else W
+    step = 1
+    while step <= maxq:
+        rolled = jnp.concatenate(
+            [jnp.zeros_like(x[:, :step]), x[:, :-step]], axis=1
+        )
+        x = jnp.where(
+            (((q >> int(np.log2(step))) & 1) == 1)[:, None, :], rolled, x
+        )
+        step *= 2
+    rr = r[:, None, :]
+    prev = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+    lo = jnp.where(rr == 0, jnp.uint32(0), prev << ((jnp.uint32(32) - rr) & 31))
+    return (x >> rr) | lo
+
+
+def _merge_level_t(
+    vals: jnp.ndarray, lens: jnp.ndarray, max_bits: int | None = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Transposed twin of :func:`_merge_level`: vals (n, W, B), lens (n, B)."""
+    W = vals.shape[1]
+    A = vals[0::2]
+    Bv = vals[1::2]
+    la = lens[0::2]
+    lb = lens[1::2]
+    if max_bits is None:
+        out_w, max_shift = 2 * W, None
+    else:
+        assert max_bits <= 32 * W
+        out_w = min(2 * W, -(-(2 * max_bits) // 32))
+        max_shift = max_bits
+    shifted = _shift_right_bits_t(Bv, la, out_w, max_shift)
+    A_ext = jnp.pad(A, ((0, 0), (0, out_w - W), (0, 0)))
+    return A_ext | shifted, la + lb
+
+
 def _auto_gather_free(gather_free):
     if gather_free is None:
         try:
@@ -194,7 +245,8 @@ def _auto_gather_free(gather_free):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_len", "gather_free", "max_code_len")
+    jax.jit,
+    static_argnames=("block_len", "gather_free", "max_code_len", "transposed"),
 )
 def encode_blocks(
     data: jnp.ndarray, lens_lut: jnp.ndarray, acodes_lut: jnp.ndarray,
@@ -202,6 +254,7 @@ def encode_blocks(
     block_len: int | None = None,
     gather_free: bool | None = None,
     max_code_len: int | None = None,
+    transposed: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack blocks of bytes into Huffman bitstreams.
 
@@ -216,6 +269,8 @@ def encode_blocks(
     ``max_code_len`` is a static bound on code lengths (pass
     ``int(lens.max())`` from concrete tables) — it shrinks merge temporaries
     and the output word count to what the bound allows.
+    ``transposed`` runs the merge in (symbols, words, blocks) layout with
+    the block axis in TPU lanes (see :func:`_shift_right_bits_t`).
     """
     if data.ndim == 1:
         data = data[None, :]
@@ -223,15 +278,28 @@ def encode_blocks(
     if block_len is not None:
         assert N == block_len
     assert N & (N - 1) == 0, "block length must be a power of two"
-    lens, acodes = _lut_lookup(data, lens_lut, acodes_lut,
-                               _auto_gather_free(gather_free))
+    mb = None if max_code_len is None else int(max_code_len)
+    gf = _auto_gather_free(gather_free)
+    if transposed:
+        lens, acodes = _lut_lookup(data.T, lens_lut, acodes_lut, gf)  # (N, B)
+        if valid_lens is not None:
+            mask = jnp.arange(N, dtype=jnp.int32)[:, None] < valid_lens[None, :]
+            lens = jnp.where(mask, lens, 0)
+            acodes = jnp.where(mask, acodes, jnp.uint32(0))
+        vals = acodes[:, None, :]  # (N, 1, B)
+        cur = lens
+        while vals.shape[0] > 1:
+            vals, cur = _merge_level_t(vals, cur, mb)
+            if mb is not None:
+                mb = min(2 * mb, 32 * vals.shape[1])
+        return vals[0].T, cur[0]
+    lens, acodes = _lut_lookup(data, lens_lut, acodes_lut, gf)
     if valid_lens is not None:
         mask = jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None]
         lens = jnp.where(mask, lens, 0)
         acodes = jnp.where(mask, acodes, jnp.uint32(0))
     vals = acodes[..., None]  # (B, N, 1)
     cur = lens
-    mb = None if max_code_len is None else int(max_code_len)
     while vals.shape[-2] > 1:
         vals, cur = _merge_level(vals, cur, mb)
         if mb is not None:
