@@ -149,3 +149,65 @@ def test_decode_hf2_device_end_to_end(tmp_path):
         hdr = read_hf2_header(fp)
         payload = fp.read()
     assert decode_hf2_device(hdr, payload) == data.tobytes()
+
+
+def _canonical_tree(data):
+    from tpuhuff.core.canonical import canonicalize
+
+    return canonicalize(HuffTree.from_weights(ByteWeights.from_bytes(data)))
+
+
+@pytest.mark.parametrize("alphabet", [2, 41, 256])
+@pytest.mark.parametrize("unroll", [1, 4])
+def test_decode_blocks_canonical(alphabet, unroll):
+    from tpuhuff.kernels.decode import (
+        decode_blocks_canonical,
+        make_canonical_decode_tables,
+    )
+
+    rng = np.random.default_rng(alphabet * 13 + unroll)
+    block_len = 256
+    data = rng.integers(0, alphabet, 8 * block_len - 31, dtype=np.uint8)
+    tree = _canonical_tree(data)
+    payload, starts, ends = _encode_blocks_host(data, block_len, tree)
+    rows, bit0 = payload_to_lane_words(payload, starts, ends, block_len)
+    tabs = make_canonical_decode_tables(tree)
+    assert tabs is not None, "canonicalized tree must be detected canonical"
+    ub, dd, perm4, ml = tabs
+    out = np.asarray(
+        decode_blocks_canonical(
+            jnp.asarray(rows), jnp.asarray(bit0),
+            jnp.asarray((ends - starts).astype(np.int32)),
+            ub, dd, perm4, ml, block_len, unroll=unroll,
+        )
+    )
+    for b in range(starts.size):
+        blk = data[b * block_len : (b + 1) * block_len]
+        assert np.array_equal(out[b, : blk.size], blk), b
+
+
+def test_canonical_detection_rejects_noncanonical():
+    from tpuhuff.kernels.decode import make_canonical_decode_tables
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 200, 4096, dtype=np.uint8)
+    tree = HuffTree.from_weights(ByteWeights.from_bytes(data))
+    # heap-built trees are essentially never canonical for large alphabets
+    assert make_canonical_decode_tables(tree) is None
+    assert make_canonical_decode_tables(_canonical_tree(data)) is not None
+
+
+def test_decode_hf2_device_canonical_end_to_end(tmp_path):
+    from tpuhuff.io import read_compress_write_hf2, read_hf2_header
+    from tpuhuff.kernels.decode import decode_hf2_device
+
+    data = np.random.default_rng(7).integers(0, 130, 20_000, dtype=np.uint8)
+    src = tmp_path / "f.bin"
+    src.write_bytes(data.tobytes())
+    hf2 = str(src) + ".hf2"
+    read_compress_write_hf2(str(src), hf2, block_len=1024)
+    with open(hf2, "rb") as fp:
+        hdr = read_hf2_header(fp)
+        payload = fp.read()
+    assert hdr.canonical
+    assert decode_hf2_device(hdr, payload) == data.tobytes()

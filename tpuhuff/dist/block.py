@@ -104,6 +104,7 @@ def encode_pipeline(
     block_len: int = 65536,
     mesh: Mesh | None = None,
     max_code_len: int = 32,
+    canonical: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, "object", int]:
     """Full two-pass pipeline: psum histogram -> host tree -> sharded pack.
 
@@ -116,7 +117,7 @@ def encode_pipeline(
         np.asarray(data, dtype=np.uint8).ravel(), block_len, n_shards
     )
     words, bits, tree = encode_pipeline_arrays(
-        jnp.asarray(blocks), jnp.asarray(valid), mesh, max_code_len
+        jnp.asarray(blocks), jnp.asarray(valid), mesh, max_code_len, canonical
     )
     return np.asarray(words), np.asarray(bits), tree, orig_len
 
@@ -126,13 +127,15 @@ def encode_pipeline_arrays(
     jvalid: jnp.ndarray,
     mesh: Mesh,
     max_code_len: int = 32,
+    canonical: bool = False,
 ):
     """Device-array core of the pipeline: psum histogram -> host tree ->
     sharded pack.  ``jblocks``/``jvalid`` may be global (multi-process)
     arrays sharded over ``mesh``; the returned ``(words, bits)`` carry the
     same block sharding and ``tree`` is identical on every process (the
-    histogram is a global psum)."""
-    from ..core.canonical import build_tree_for_device
+    histogram is a global psum).  ``canonical`` re-assigns canonical codes
+    (same lengths/size; enables the fast ladder decoder)."""
+    from ..core.canonical import build_tree_for_device, canonicalize
     from ..core.weights import ByteWeights
 
     counts = sharded_histogram(jblocks, jvalid, mesh).astype(np.int64)
@@ -140,6 +143,8 @@ def encode_pipeline_arrays(
     # than 32 the pipeline switches to the optimal length-limited code —
     # still a valid .hff tree, marginally larger output (PARITY.md)
     tree, _limited = build_tree_for_device(ByteWeights(counts), max_len=max_code_len)
+    if canonical:
+        tree = canonicalize(tree)
     lens, codes = tree.encode_tables()
     dl, da = make_encode_tables(lens, codes)
     words, bits = sharded_encode(jblocks, jvalid, dl, da, mesh,

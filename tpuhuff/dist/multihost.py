@@ -79,7 +79,8 @@ def _per_host_block_quota(total_len: int, block_len: int) -> int:
 
 
 def compress_file_multihost(
-    src_path: str, dst_path: str, block_len: int = 65536
+    src_path: str, dst_path: str, block_len: int = 65536,
+    canonical: bool = True,
 ) -> None:
     """Config-5 orchestration: per-host streaming read of its own byte
     range, global-psum tree, device-parallel pack, host-0 ordered write of
@@ -96,7 +97,7 @@ def compress_file_multihost(
         fp.seek(lo)
         local = np.frombuffer(fp.read(hi - lo), dtype=np.uint8)
     words, bits, tree, _ = compress_multihost(
-        local, block_len=block_len, total_len=total
+        local, block_len=block_len, total_len=total, canonical=canonical
     )
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -128,12 +129,13 @@ def compress_file_multihost(
         payload, _pad = stitch_words(np.asarray(words), np.asarray(bits))
         end_bits = np.cumsum(np.asarray(bits, dtype=np.uint64))
         with open(dst_path, "wb") as out:
-            write_hf2(out, tree, total, block_len, end_bits, payload)
+            write_hf2(out, tree, total, block_len, end_bits, payload,
+                      canonical=canonical)
 
 
 def compress_multihost(
     local_data: np.ndarray, block_len: int = 65536,
-    total_len: Optional[int] = None,
+    total_len: Optional[int] = None, canonical: bool = False,
 ):
     """Compress this host's shard; returns (words, bits, tree, orig_len).
 
@@ -146,7 +148,7 @@ def compress_multihost(
     """
     if jax.process_count() == 1:
         return encode_pipeline(local_data, block_len=block_len,
-                               mesh=make_mesh())
+                               mesh=make_mesh(), canonical=canonical)
 
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
@@ -181,7 +183,8 @@ def compress_multihost(
     gvalid = multihost_utils.host_local_array_to_global_array(
         valid, mesh, P(BLOCK_AXIS)
     )
-    words_g, bits_g, tree = encode_pipeline_arrays(gblocks, gvalid, mesh)
+    words_g, bits_g, tree = encode_pipeline_arrays(gblocks, gvalid, mesh,
+                                                   canonical=canonical)
     words = multihost_utils.global_array_to_host_local_array(
         words_g, mesh, P(BLOCK_AXIS)
     )

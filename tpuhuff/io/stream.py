@@ -306,8 +306,18 @@ def read_decompress_write(
 # ---------------------------------------------------------------------------
 def read_compress_write_hf2(
     src_path: str, dst_path: str, block_len: int = 65536, device: bool = False,
+    canonical: bool = True,
 ) -> None:
-    """Compress into the block-indexed ``.hf2`` container (parallel decode)."""
+    """Compress into the block-indexed ``.hf2`` container (parallel decode).
+
+    ``canonical`` (default): assign canonical codes — same code lengths,
+    hence identical compressed size, but the device decoder's fast ladder
+    path applies (`kernels.decode.decode_blocks_canonical`).  Host and
+    device writers canonicalize identically, so their outputs stay
+    byte-equal.
+    """
+    from ..core.canonical import canonicalize
+
     size = os.path.getsize(src_path)
     with open(src_path, "rb") as src:
         data = np.fromfile(src, dtype=np.uint8)
@@ -315,7 +325,8 @@ def read_compress_write_hf2(
         from ..dist import stitch_words
         from ..dist.block import encode_pipeline
 
-        words, bits, tree, _ = encode_pipeline(data, block_len=block_len)
+        words, bits, tree, _ = encode_pipeline(data, block_len=block_len,
+                                               canonical=canonical)
         payload, _pad = stitch_words(words, bits)
         # drop trailing all-padding blocks from the index
         n_blocks = max(1, -(-size // block_len)) if size else 1
@@ -324,6 +335,8 @@ def read_compress_write_hf2(
     else:
         nat = _native()
         tree = HuffTree.from_weights(ByteWeights.from_bytes(data))
+        if canonical:
+            tree = canonicalize(tree)
         lens_lut, codes_lut = tree.encode_tables()
         n_blocks = max(1, -(-size // block_len)) if size else 1
         parts = []
@@ -352,7 +365,8 @@ def read_compress_write_hf2(
             payload = (value << pad).to_bytes((total + pad) // 8, "big")
         end_bits = np.cumsum(bit_lens)
     with open(dst_path, "wb") as dst:
-        write_hf2(dst, tree, size, block_len, end_bits, payload)
+        write_hf2(dst, tree, size, block_len, end_bits, payload,
+                  canonical=canonical)
 
 
 def read_decompress_write_hf2(

@@ -163,26 +163,21 @@ def _packed4_lookup(bits_msb, table4: jnp.ndarray) -> jnp.ndarray:
     return (word >> (lane2 * 8)) & jnp.uint32(0xFF)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_len", "unroll", "transposed")
-)
-def decode_blocks_device(
+def _scan_decode(
     rows: jnp.ndarray,
     bit0: jnp.ndarray,
     nbits: jnp.ndarray,
-    thr: jnp.ndarray,
-    sym4: jnp.ndarray,
-    len4: jnp.ndarray,
     block_len: int,
-    unroll: int = 1,
-    transposed: bool = True,
+    unroll: int,
+    transposed: bool,
+    decode_window,
 ) -> jnp.ndarray:
-    """Decode B lanes of up to ``block_len`` symbols each.
+    """Shared scan skeleton for the device decoders.
 
-    ``rows``: (B, W) u32 per-lane word arrays (MSB-first bit order).
-    ``bit0``/``nbits``: per-lane start offset within the row and payload bit
-    count.  Returns (B, block_len) uint8 (zero beyond each lane's symbol
-    count).
+    ``decode_window(window)`` maps the next-32-bits window (MSB-aligned,
+    (B,) u32) to ``(symbol u32, code length i32)``; everything else —
+    window formation, cursor bookkeeping, the per-step buffer roll, output
+    stacking — is codec-independent.
 
     ``unroll`` = S decodes S symbols per scan step from a register-resident
     (S+1)-word window, rolling the HBM word buffer once per step (by 0..S
@@ -201,7 +196,6 @@ def decode_blocks_device(
     if W < S + 1:  # the register window reads static columns 0..S
         rows = jnp.pad(rows, ((0, 0), (0, S + 1 - W)))
         W = S + 1
-    thr = thr.astype(jnp.uint32)
 
     def step(state, _):
         buf, r, consumed = state  # (B, W)|(W, B) u32, (B,) i32, (B,) i32
@@ -226,9 +220,7 @@ def decode_blocks_device(
             hi = jnp.where(rr == 0, w0, w0 << rr)
             lo = jnp.where(rr == 0, jnp.uint32(0), w1 >> ((jnp.uint32(32) - rr) & 31))
             window = hi | lo  # next 32 bits, MSB-aligned
-            bits_msb = _search_leaf(window, thr)
-            sym = _packed4_lookup(bits_msb, sym4)
-            ln = _packed4_lookup(bits_msb, len4).astype(jnp.int32)
+            sym, ln = decode_window(window)
             active = consumed + ln <= nbits
             ln = jnp.where(active, ln, 0)
             syms.append(jnp.where(active, sym, 0).astype(jnp.uint8))
@@ -274,12 +266,142 @@ def decode_blocks_device(
     return jnp.transpose(out, (1, 0, 2)).reshape(B, block_len)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("block_len", "unroll", "transposed")
+)
+def decode_blocks_device(
+    rows: jnp.ndarray,
+    bit0: jnp.ndarray,
+    nbits: jnp.ndarray,
+    thr: jnp.ndarray,
+    sym4: jnp.ndarray,
+    len4: jnp.ndarray,
+    block_len: int,
+    unroll: int = 1,
+    transposed: bool = True,
+) -> jnp.ndarray:
+    """Decode B lanes of up to ``block_len`` symbols each — general prefix
+    trees (interval threshold search; see module docstring).
+
+    ``rows``: (B, W) u32 per-lane word arrays (MSB-first bit order).
+    ``bit0``/``nbits``: per-lane start offset within the row and payload bit
+    count.  Returns (B, block_len) uint8 (zero beyond each lane's symbol
+    count).  ``unroll``/``transposed``: see :func:`_scan_decode`.
+    """
+    thr = thr.astype(jnp.uint32)
+
+    def decode_window(window):
+        bits_msb = _search_leaf(window, thr)
+        sym = _packed4_lookup(bits_msb, sym4)
+        ln = _packed4_lookup(bits_msb, len4).astype(jnp.int32)
+        return sym, ln
+
+    return _scan_decode(rows, bit0, nbits, block_len, unroll, transposed,
+                        decode_window)
+
+
+def make_canonical_decode_tables(tree: HuffTree):
+    """Fast-path tables for CANONICAL codes, or None if the tree's codes are
+    not canonical (sorted by (length, letter), numerically increasing —
+    ``core.canonical.canonicalize`` output, flagged in ``.hf2``).
+
+    Canonical length classes occupy nested value ranges, so the leaf search
+    collapses from the 255-select interval tree to a ladder of ``max_len-1``
+    unsigned compares — ~3-4x fewer VPU ops per symbol:
+
+    * ``ub[L-1]`` (u32, left-aligned): exclusive upper bound of all codes of
+      length <= L; ``len(window) = 1 + popcount over L of (window >= ub)``.
+    * ``dd`` (i32): ladder deltas folding the index offset LUT into the same
+      compares: ``idx = (window >> (32-len)) + dd[0] + sum ind_L * dd[L]``.
+    * ``perm4`` (u32[64]): canonical-index -> byte, packed 4 per word.
+
+    Returns ``(ub, dd, perm4, max_len)``.
+    """
+    from ..core.canonical import canonical_codes_from_lengths
+
+    codes = tree.read_codes()
+    lengths = [(letter, code.length) for letter, code in codes.items()]
+    if any(l > 32 for _, l in lengths):
+        return None
+    want = canonical_codes_from_lengths(lengths)
+    for letter, code in codes.items():
+        if want[letter] != (code.value, code.length):
+            return None
+    items = sorted(codes.items(), key=lambda kv: (kv[1].length, kv[0]))
+    ml = max(l for _, l in lengths)
+    count = np.zeros(ml + 1, dtype=np.int64)
+    for _, l in lengths:
+        count[l] += 1
+    # canonical first-code per length (RFC1951-style) + cumulative index
+    first = np.zeros(ml + 1, dtype=np.int64)
+    code_v = 0
+    for L in range(1, ml + 1):
+        code_v = (code_v + count[L - 1]) << 1
+        first[L] = code_v
+    cum_before = np.concatenate([[0], np.cumsum(count[1:])])[:-1]  # idx of
+    # first length-L code within the sorted symbol order, index L-1
+    delta = [int(cum_before[L - 1] - first[L]) for L in range(1, ml + 1)]
+    ub = np.zeros(max(ml - 1, 1), dtype=np.uint32)
+    for L in range(1, ml):
+        v = (first[L] + count[L]) << (32 - L)
+        ub[L - 1] = min(v, (1 << 32) - 1)
+    dd = np.zeros(ml, dtype=np.int32)
+    dd[0] = delta[0]
+    for j in range(1, ml):
+        dd[j] = delta[j] - delta[j - 1]
+    perm = np.zeros(256, dtype=np.uint8)
+    K = len(items)
+    perm[:K] = [int(letter) for letter, _ in items]
+    if K < 256:
+        perm[K:] = perm[K - 1]
+    return jnp.asarray(ub), jnp.asarray(dd), jnp.asarray(_pack4(perm)), ml
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_len", "block_len", "unroll", "transposed")
+)
+def decode_blocks_canonical(
+    rows: jnp.ndarray,
+    bit0: jnp.ndarray,
+    nbits: jnp.ndarray,
+    ub: jnp.ndarray,
+    dd: jnp.ndarray,
+    perm4: jnp.ndarray,
+    max_len: int,
+    block_len: int,
+    unroll: int = 1,
+    transposed: bool = True,
+) -> jnp.ndarray:
+    """Canonical-code twin of :func:`decode_blocks_device` (ladder search,
+    tables from :func:`make_canonical_decode_tables`)."""
+
+    def decode_window(window):
+        delta = dd[0].astype(jnp.int32) + jnp.zeros_like(window, jnp.int32)
+        ln = jnp.ones_like(window, jnp.int32)
+        for L in range(1, max_len):
+            ind = (window >= ub[L - 1]).astype(jnp.int32)
+            ln = ln + ind
+            delta = delta + ind * dd[L]
+        v = (window >> (jnp.uint32(32) - ln.astype(jnp.uint32))).astype(jnp.int32)
+        idx = (v + delta) & 255
+        bits_msb = [((idx >> (7 - k)) & 1) == 1 for k in range(8)]
+        sym = _packed4_lookup(bits_msb, perm4)
+        return sym, ln
+
+    return _scan_decode(rows, bit0, nbits, block_len, unroll, transposed,
+                        decode_window)
+
+
 def decode_hf2_device(header, payload: bytes, unroll: int | None = None) -> bytes:
-    """Decode a whole .hf2 payload on device; returns the original bytes."""
+    """Decode a whole .hf2 payload on device; returns the original bytes.
+
+    Uses the canonical ladder decoder whenever the header tree's codes are
+    canonical (detected from the tree itself, not the flag — foreign files
+    may flag incorrectly), else the general interval decoder.
+    """
     ends = header.end_bits.astype(np.int64)
     starts = np.concatenate([[0], ends[:-1]])
     rows, bit0 = payload_to_lane_words(payload, starts, ends, header.block_len)
-    thr, sym4, len4 = make_decode_tables(header.tree)
     nbits = (ends - starts).astype(np.int32)
     if unroll is None:  # widest unroll dividing block_len (HW sweet spot: 8);
         # plain scan off-TPU — the wide unrolled step compiles slowly on CPU
@@ -288,10 +410,19 @@ def decode_hf2_device(header, payload: bytes, unroll: int | None = None) -> byte
         except Exception:
             cands = (1,)
         unroll = next(s for s in cands if header.block_len % s == 0)
-    out = decode_blocks_device(
-        jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(nbits),
-        thr, sym4, len4, header.block_len, unroll=unroll,
-    )
+    canon = make_canonical_decode_tables(header.tree)
+    if canon is not None:
+        ub, dd, perm4, ml = canon
+        out = decode_blocks_canonical(
+            jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(nbits),
+            ub, dd, perm4, ml, header.block_len, unroll=unroll,
+        )
+    else:
+        thr, sym4, len4 = make_decode_tables(header.tree)
+        out = decode_blocks_device(
+            jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(nbits),
+            thr, sym4, len4, header.block_len, unroll=unroll,
+        )
     # rows are block_len apart in the original stream, so the flat view is
     # the stream itself (padding symbols land past orig_len and are cut)
     return np.asarray(out).reshape(-1)[: header.orig_len].tobytes()
