@@ -26,7 +26,8 @@ import numpy as np
 PER_CHIP_BASELINE_GBPS = 10.0 / 8.0
 
 DATA_MB = int(os.environ.get("BENCH_MB", "16"))
-BLOCK_LEN = int(os.environ.get("BENCH_BLOCK", "16384"))
+BLOCK_LEN = int(os.environ.get("BENCH_BLOCK", "512"))  # session 9 sweep optimum
+DEC_BLOCK = int(os.environ.get("BENCH_DEC_BLOCK", "128"))
 K1 = int(os.environ.get("BENCH_K1", "2"))
 K2 = int(os.environ.get("BENCH_K2", "8"))
 
@@ -118,6 +119,63 @@ def main() -> None:
     got = words_to_payload(np.asarray(words[0]), int(bits[0]))
     assert got == ref, "device output mismatch vs host reference"
     log("bit-exactness vs host packer: OK")
+
+    # secondary: canonical ladder decode throughput (logged, not the metric)
+    try:
+        from tpuhuff.core.canonical import canonicalize
+        from tpuhuff.kernels.decode import (
+            decode_blocks_canonical, make_canonical_decode_tables,
+        )
+
+        ctree = canonicalize(tree)
+        cl, cc = ctree.encode_tables()
+        cdl, cda = make_encode_tables(cl, cc)
+        Bd = n // DEC_BLOCK
+        wd, bd = encode_blocks(
+            jnp.asarray(data[: Bd * DEC_BLOCK].reshape(Bd, DEC_BLOCK)),
+            cdl, cda, max_code_len=int(cl.max()))
+        wd = np.asarray(wd)
+        bd_np = np.asarray(bd).astype(np.int64)
+        Wmax = int(((bd_np + 31) // 32).max()) + 1
+        rows = np.zeros((Bd, Wmax), dtype=np.uint32)
+        rows[:, : min(wd.shape[1], Wmax)] = wd[:, : min(wd.shape[1], Wmax)]
+        rows_j = jax.device_put(jnp.asarray(rows), dev)
+        bit0 = jnp.zeros(Bd, jnp.int32)
+        nbits = jnp.asarray(bd_np.astype(np.int32))
+        ub, dd, perm4, ml = make_canonical_decode_tables(ctree)
+        unroll = 8 if DEC_BLOCK % 8 == 0 else 1
+
+        def dmake(K):
+            @jax.jit
+            def run(r):
+                def body(i, acc):
+                    o = decode_blocks_canonical(
+                        jnp.roll(r, i, axis=0), bit0, nbits, ub, dd, perm4,
+                        ml, DEC_BLOCK, unroll=unroll)
+                    return acc + o[0, 0].astype(jnp.int32) + o[-1, -1].astype(jnp.int32)
+                return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+            return run
+
+        dt = {}
+        for K in (K1, K2):
+            f = dmake(K)
+            int(f(rows_j))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                int(f(rows_j))
+                best = min(best, time.perf_counter() - t0)
+            dt[K] = best
+        dper = (dt[K2] - dt[K1]) / (K2 - K1)
+        dgbps = n / max(dper, 1e-9) / 1e9
+        # decode correctness on a slice
+        out = np.asarray(decode_blocks_canonical(
+            rows_j[:64], bit0[:64], nbits[:64], ub, dd, perm4, ml,
+            DEC_BLOCK, unroll=unroll))
+        assert np.array_equal(out, data[: Bd * DEC_BLOCK].reshape(-1, DEC_BLOCK)[:64])
+        log(f"decode (canonical, BL={DEC_BLOCK}): {dper*1e3:.2f}ms -> {dgbps:.2f} GB/s, bit-exact OK")
+    except Exception as e:  # decode is informational; never fail the bench
+        log(f"decode bench skipped: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "encode_throughput_1chip",

@@ -1,0 +1,52 @@
+"""Pallas canonical decoder: parity with the XLA canonical decoder
+(interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpuhuff import ByteWeights, HuffTree
+from tpuhuff.core.canonical import canonicalize
+from tpuhuff.core.codec import pack_codes_u8
+from tpuhuff.kernels.decode import (
+    make_canonical_decode_tables,
+    payload_to_lane_words,
+)
+from tpuhuff.kernels.pallas_decode import decode_blocks_pallas_canonical
+
+
+def _encode_blocks_host(data, block_len, tree):
+    lens, codes = tree.encode_tables()
+    B = -(-data.size // block_len)
+    value, total, bit_lens = 0, 0, []
+    for b in range(B):
+        blk = data[b * block_len : (b + 1) * block_len]
+        p, pad = pack_codes_u8(blk, lens, codes)
+        nb = len(p) * 8 - pad
+        value = (value << nb) | (int.from_bytes(p, "big") >> (len(p) * 8 - nb))
+        total += nb
+        bit_lens.append(nb)
+    pad = (8 - total % 8) % 8
+    payload = (value << pad).to_bytes((total + pad) // 8, "big")
+    ends = np.cumsum(bit_lens)
+    return payload, (ends - np.array(bit_lens)).astype(np.int64), ends.astype(np.int64)
+
+
+@pytest.mark.parametrize("alphabet", [2, 41, 256])
+@pytest.mark.parametrize("unroll", [1, 4])
+def test_pallas_decode_roundtrip(alphabet, unroll):
+    rng = np.random.default_rng(alphabet * 5 + unroll)
+    block_len = 32
+    data = rng.integers(0, alphabet, 40 * block_len - 13, dtype=np.uint8)
+    tree = canonicalize(HuffTree.from_weights(ByteWeights.from_bytes(data)))
+    payload, starts, ends = _encode_blocks_host(data, block_len, tree)
+    rows, bit0 = payload_to_lane_words(payload, starts, ends, block_len)
+    ub, dd, perm4, ml = make_canonical_decode_tables(tree)
+    out = decode_blocks_pallas_canonical(
+        rows, bit0, (ends - starts).astype(np.int32),
+        ub, dd, perm4, ml, block_len, unroll=unroll, interpret=True,
+    )
+    for b in range(starts.size):
+        blk = data[b * block_len : (b + 1) * block_len]
+        assert np.array_equal(out[b, : blk.size], blk), b

@@ -80,6 +80,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hf2", action="store_true",
                    help="Use the block-indexed .hf2 container "
                    "(enables parallel/TPU decode)")
+    p.add_argument("--hf2-block", default=None, metavar="SIZE",
+                   help="Input bytes per .hf2 block (units as -b; default: "
+                   "256 with --device, 64Ki on host)")
     p.add_argument("--device", action="store_true",
                    help="Route block packing through the JAX/TPU kernels")
     p.add_argument("--threads", type=int, default=None,
@@ -157,7 +160,10 @@ def main(argv=None) -> int:
                     stream.read_decompress_write(src, dst, block_size)
             else:
                 if args.hf2:
+                    hf2_block = (parse_block_size(args.hf2_block)
+                                 if args.hf2_block else None)
                     stream.read_compress_write_hf2(src, dst,
+                                                   block_len=hf2_block,
                                                    device=args.device)
                 else:
                     stream.read_compress_write(src, dst, block_size,

@@ -181,7 +181,7 @@ def read_compress_write(
         dst.write(bytes([(tree_padding << 4) | data_padding]))
 
 
-def _device_encoder(tree: HuffTree, block_len: int = 65536):
+def _device_encoder(tree: HuffTree, block_len: int = 512):
     """Chunk encoder routed through the JAX device pipeline."""
     from ..dist import stitch_words
     from ..dist.block import pad_to_blocks
@@ -304,9 +304,15 @@ def read_decompress_write(
 # ---------------------------------------------------------------------------
 # .hf2 — block-indexed container
 # ---------------------------------------------------------------------------
+DEVICE_HF2_BLOCK = 256   # TPU decode sweet spot (session 9: ~7 GB/s, 0.8%
+# index overhead with the v2 u16 table); host path favors big blocks (the
+# per-block Python/C++ dispatch dominates below ~64 KiB)
+HOST_HF2_BLOCK = 65536
+
+
 def read_compress_write_hf2(
-    src_path: str, dst_path: str, block_len: int = 65536, device: bool = False,
-    canonical: bool = True,
+    src_path: str, dst_path: str, block_len: int | None = None,
+    device: bool = False, canonical: bool = True,
 ) -> None:
     """Compress into the block-indexed ``.hf2`` container (parallel decode).
 
@@ -314,10 +320,12 @@ def read_compress_write_hf2(
     hence identical compressed size, but the device decoder's fast ladder
     path applies (`kernels.decode.decode_blocks_canonical`).  Host and
     device writers canonicalize identically, so their outputs stay
-    byte-equal.
+    byte-equal at equal ``block_len``.
     """
     from ..core.canonical import canonicalize
 
+    if block_len is None:
+        block_len = DEVICE_HF2_BLOCK if device else HOST_HF2_BLOCK
     size = os.path.getsize(src_path)
     with open(src_path, "rb") as src:
         data = np.fromfile(src, dtype=np.uint8)

@@ -244,6 +244,17 @@ def _auto_gather_free(gather_free):
     return bool(gather_free)
 
 
+def _auto_transposed(transposed):
+    """Blocks-in-lanes merge layout: on by default on TPU (sessions 8-9:
+    1.4-1.5x over the blocks-in-sublanes layout at every block size)."""
+    if transposed is None:
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+    return bool(transposed)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_len", "gather_free", "max_code_len", "transposed"),
@@ -254,7 +265,7 @@ def encode_blocks(
     block_len: int | None = None,
     gather_free: bool | None = None,
     max_code_len: int | None = None,
-    transposed: bool = False,
+    transposed: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack blocks of bytes into Huffman bitstreams.
 
@@ -280,7 +291,7 @@ def encode_blocks(
     assert N & (N - 1) == 0, "block length must be a power of two"
     mb = None if max_code_len is None else int(max_code_len)
     gf = _auto_gather_free(gather_free)
-    if transposed:
+    if _auto_transposed(transposed):
         lens, acodes = _lut_lookup(data.T, lens_lut, acodes_lut, gf)  # (N, B)
         if valid_lens is not None:
             mask = jnp.arange(N, dtype=jnp.int32)[:, None] < valid_lens[None, :]

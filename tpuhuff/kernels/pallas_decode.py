@@ -1,0 +1,223 @@
+"""Pallas TPU kernel: VMEM-resident canonical prefix-code decoder.
+
+The XLA scan decoder (:mod:`tpuhuff.kernels.decode`) rewrites its (B, W)
+word buffer in HBM every step and dispatches hundreds of small elementwise
+ops per symbol; measured throughput is op/dispatch-bound (sessions 5-8).
+This kernel keeps the whole per-block word buffer in VMEM and fuses the
+entire symbol loop into one program:
+
+* layout: each grid cell decodes ``8 * 128`` blocks.  Words live as
+  ``(W * 8, 128)`` u32 — word ``j`` of sub-block ``s`` at row ``j*8+s`` —
+  so every elementwise op covers a full (8, 128) VPU tile and a one-word
+  buffer roll is a static 8-row shift.
+* search: the canonical ladder (``max_len-1`` unsigned compares + folded
+  index deltas + one packed 4-per-word permutation lookup), identical math
+  to :func:`tpuhuff.kernels.decode.decode_blocks_canonical`.
+* op set: static slices/concats, ``where``, shifts — the subset this
+  backend's Mosaic compiler accepts (no dynamic gathers; the only dynamic
+  op is the per-step output row store).
+
+``unroll`` = S decodes S symbols per ``fori_loop`` iteration from an
+(S+1)-word register window and rolls the VMEM buffer once (select tree
+over the 0..S word advance), exactly like the XLA skeleton.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["decode_blocks_pallas_canonical"]
+
+LANES = 128
+SUB = 8  # sub-blocks per sublane group: ops run on full (8, 128) tiles
+
+
+def _sel_scalar(bits, tab_ref, lo: int, size: int):
+    """Select ``tab_ref[0, lo + index]`` (scalars broadcast over the bit
+    arrays) by LSB-first boolean index bits — gather-free."""
+    if size == 1:
+        return tab_ref[0, lo]
+    half = size // 2
+    level = half.bit_length() - 1
+    lo_v = _sel_scalar(bits, tab_ref, lo, half)
+    hi_v = _sel_scalar(bits, tab_ref, lo + half, half)
+    return jnp.where(bits[level], hi_v, lo_v)
+
+
+def _sel_list(bits, items, lo: int, size: int):
+    if size == 1:
+        return items[min(lo, len(items) - 1)]
+    half = size // 2
+    level = half.bit_length() - 1
+    lo_v = _sel_list(bits, items, lo, half)
+    hi_v = _sel_list(bits, items, lo + half, half)
+    return jnp.where(bits[level], hi_v, lo_v)
+
+
+def _decode_kernel(rows_ref, bit0_ref, nbits_ref, ub_ref, dd_ref, perm_ref,
+                   out_ref, *, block_len: int, max_len: int, unroll: int,
+                   wpad: int):
+    S = unroll
+    buf = rows_ref[:].astype(jnp.uint32)   # (wpad*8, 128)
+    r = bit0_ref[:].astype(jnp.int32)      # (8, 128)
+    consumed = jnp.zeros_like(r)
+    nbits = nbits_ref[:].astype(jnp.int32)
+
+    def decode_window(window):
+        delta = dd_ref[0, 0] + jnp.zeros(window.shape, jnp.int32)
+        ln = jnp.ones(window.shape, jnp.int32)
+        for L in range(1, max_len):
+            ind = (window >= ub_ref[0, L - 1]).astype(jnp.int32)
+            ln = ln + ind
+            delta = delta + ind * dd_ref[0, L]
+        v = (window >> (jnp.uint32(32) - ln.astype(jnp.uint32))).astype(
+            jnp.int32
+        )
+        idx = (v + delta) & 255
+        bits = [((idx >> k) & 1) == 1 for k in range(8)]  # LSB first
+        word = _sel_scalar(bits[2:], perm_ref, 0, 64)
+        sh = ((idx & 3).astype(jnp.uint32) * 8)
+        return (word >> sh) & jnp.uint32(0xFF), ln
+
+    def body(i, state):
+        buf, r, consumed = state
+        win = [buf[j * SUB : (j + 1) * SUB] for j in range(S + 1)]
+        cur = r
+        syms = []
+        for s in range(S):
+            q = cur >> 5
+            rr = (cur & 31).astype(jnp.uint32)
+            if s == 0:
+                w0, w1 = win[0], win[1]
+            else:
+                nsel = 1
+                while nsel <= s:
+                    nsel *= 2
+                qb = [((q >> k) & 1) == 1 for k in range(nsel.bit_length() - 1)]
+                w0 = _sel_list(qb, win[: s + 1], 0, nsel)
+                w1 = _sel_list(qb, win[1 : s + 2], 0, nsel)
+            hi = jnp.where(rr == 0, w0, w0 << rr)
+            lo = jnp.where(
+                rr == 0, jnp.uint32(0), w1 >> ((jnp.uint32(32) - rr) & 31)
+            )
+            sym, ln = decode_window(hi | lo)
+            active = consumed + ln <= nbits
+            ln = jnp.where(active, ln, 0)
+            syms.append(jnp.where(active, sym, jnp.uint32(0)).astype(jnp.int32))
+            cur = cur + ln
+            consumed = consumed + ln
+        qt = cur >> 5
+        stepw = 1
+        bit = 0
+        while stepw <= S:
+            rolled = jnp.concatenate(
+                [buf[stepw * SUB :],
+                 jnp.zeros((stepw * SUB, LANES), jnp.uint32)], axis=0
+            )
+            m = ((qt >> bit) & 1) == 1  # (8, 128) per sub-block mask
+            mt = jnp.concatenate([m] * wpad, axis=0)
+            buf = jnp.where(mt, rolled, buf)
+            stepw *= 2
+            bit += 1
+        out_ref[pl.dslice(i * S * SUB, S * SUB), :] = jnp.concatenate(
+            syms, axis=0
+        )
+        return buf, cur & 31, consumed
+
+    jax.lax.fori_loop(0, block_len // S, body, (buf, r, consumed))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_len", "block_len", "unroll", "interpret"),
+)
+def _decode_call(rows_g, bit0_g, nbits_g, ub, dd, perm4, max_len, block_len,
+                 unroll, interpret):
+    cells = bit0_g.shape[0] // SUB
+    wpad = rows_g.shape[0] // (cells * SUB)
+    kernel = functools.partial(
+        _decode_kernel, block_len=block_len, max_len=max_len,
+        unroll=unroll, wpad=wpad,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((wpad * SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_len * SUB, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cells * block_len * SUB, LANES),
+                                       jnp.int32),
+        interpret=interpret,
+    )(rows_g, bit0_g, nbits_g, ub, dd, perm4)
+
+
+def decode_blocks_pallas_canonical(
+    rows: np.ndarray,
+    bit0: np.ndarray,
+    nbits: np.ndarray,
+    ub: jnp.ndarray,
+    dd: jnp.ndarray,
+    perm4: jnp.ndarray,
+    max_len: int,
+    block_len: int,
+    unroll: int = 4,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Drop-in twin of :func:`decode_blocks_canonical` running in Pallas.
+
+    ``rows`` (B, W) u32, ``bit0``/``nbits`` (B,) i32 — same contract;
+    B is padded to a multiple of 1024 internally (extra blocks emit 0).
+    Returns (B, block_len) uint8 as a numpy array (host reshuffles the
+    cell-major kernel output).
+    """
+    B, W = rows.shape
+    S = int(unroll)
+    assert block_len % S == 0
+    group = SUB * LANES
+    Bp = -(-B // group) * group
+    wpad = max(W, S + 1)
+    rows_p = np.zeros((Bp, wpad), dtype=np.uint32)
+    rows_p[:B, :W] = np.asarray(rows, dtype=np.uint32)
+    bit0_p = np.zeros(Bp, np.int32)
+    bit0_p[:B] = np.asarray(bit0, dtype=np.int32)
+    nbits_p = np.zeros(Bp, np.int32)
+    nbits_p[:B] = np.asarray(nbits, dtype=np.int32)
+    cells = Bp // group
+    # (cells, 8, 128, W) -> (cells, W, 8, 128) -> (cells*W*8, 128)
+    rows_g = (
+        rows_p.reshape(cells, SUB, LANES, wpad)
+        .transpose(0, 3, 1, 2)
+        .reshape(cells * wpad * SUB, LANES)
+    )
+    bit0_g = bit0_p.reshape(cells * SUB, LANES)
+    nbits_g = nbits_p.reshape(cells * SUB, LANES)
+    ub32 = np.zeros((1, 32), np.uint32)
+    ub32[0, : np.asarray(ub).size] = np.asarray(ub)
+    dd32 = np.zeros((1, 32), np.int32)
+    dd32[0, : np.asarray(dd).size] = np.asarray(dd)
+    perm = np.asarray(perm4, dtype=np.uint32).reshape(1, 64)
+    out = _decode_call(
+        jnp.asarray(rows_g), jnp.asarray(bit0_g), jnp.asarray(nbits_g),
+        jnp.asarray(ub32), jnp.asarray(dd32), jnp.asarray(perm),
+        int(max_len), int(block_len), S, bool(interpret),
+    )
+    out = np.asarray(out).reshape(cells, block_len, SUB, LANES)
+    out = out.transpose(0, 2, 3, 1).reshape(Bp, block_len)
+    return out[:B].astype(np.uint8)
