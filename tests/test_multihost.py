@@ -30,9 +30,14 @@ jax.distributed.initialize(
 )
 assert jax.process_count() == int(os.environ["TPUHUFF_NPROC"])
 assert jax.device_count() == 8, jax.device_count()
-from tpuhuff.dist.multihost import compress_file_multihost
+from tpuhuff.dist.multihost import (
+    compress_file_multihost, decompress_file_multihost,
+)
 compress_file_multihost(os.environ["TPUHUFF_SRC"], os.environ["TPUHUFF_DST"],
                         block_len=int(os.environ["TPUHUFF_BLOCK"]))
+# decode side (config 5): every process decodes its own block range
+decompress_file_multihost(os.environ["TPUHUFF_DST"], os.environ["TPUHUFF_RT"],
+                          device=True)
 print("proc", jax.process_index(), "OK", flush=True)
 """
 
@@ -63,6 +68,7 @@ def test_two_process_hf2_roundtrip(tmp_path):
         TPUHUFF_NPROC="2",
         TPUHUFF_SRC=str(src),
         TPUHUFF_DST=str(dst),
+        TPUHUFF_RT=str(tmp_path / "mh_roundtrip.bin"),
         TPUHUFF_BLOCK="4096",
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=4",
@@ -91,3 +97,5 @@ def test_two_process_hf2_roundtrip(tmp_path):
     out_file = tmp_path / "roundtrip.bin"
     read_decompress_write_hf2(str(dst), str(out_file))
     assert out_file.read_bytes() == data
+    # the two-process parallel decode must agree byte-for-byte too
+    assert (tmp_path / "mh_roundtrip.bin").read_bytes() == data

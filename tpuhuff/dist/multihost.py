@@ -28,6 +28,7 @@ __all__ = [
     "host_shard_range",
     "compress_multihost",
     "compress_file_multihost",
+    "decompress_file_multihost",
 ]
 
 
@@ -131,6 +132,12 @@ def compress_file_multihost(
         with open(dst_path, "wb") as out:
             write_hf2(out, tree, total, block_len, end_bits, payload,
                       canonical=canonical)
+    if jax.process_count() > 1:
+        # SPMD contract: the container exists for every process on return
+        # (e.g. a multihost decode of the same file may start immediately)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tpuhuff:hf2:written")
 
 
 def compress_multihost(
@@ -192,3 +199,85 @@ def compress_multihost(
         bits_g, mesh, P(BLOCK_AXIS)
     )
     return np.asarray(words), np.asarray(bits), tree, orig_len
+
+
+def decompress_file_multihost(
+    src_path: str, dst_path: str, device: bool = True,
+    threads: Optional[int] = None,
+) -> None:
+    """Config-5 decode side: every host reads ONLY the payload byte range
+    covering its contiguous block share of the ``.hf2``, decodes it
+    (device ladder kernel or threaded C++ DFA), and ``pwrite``s its slice
+    of the output file — no host ever holds the whole payload or output.
+
+    SPMD: all processes call with the same paths.  The coordinator creates/
+    truncates the output; a global barrier orders create -> parallel write
+    -> return.  Single-process: degenerates to a plain local decode.
+    """
+    from ..io.hff import read_hf2_header
+
+    with open(src_path, "rb") as fp:
+        hdr = read_hf2_header(fp)
+    B = hdr.num_blocks
+    pc, pid = jax.process_count(), jax.process_index()
+    per = -(-B // pc)
+    lo_b, hi_b = pid * per, min((pid + 1) * per, B)
+
+    def _barrier(tag: str) -> None:
+        if pc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
+    # coordinator sizes the output, everyone waits, then writes its range
+    if is_coordinator():
+        with open(dst_path, "wb") as out:
+            out.truncate(hdr.orig_len)
+    _barrier("tpuhuff:hf2dec:create")
+    if lo_b < hi_b:
+        ends = hdr.end_bits.astype(np.int64)
+        starts = np.concatenate([[0], ends[:-1]])
+        bit_lo = int(starts[lo_b])
+        bit_hi = int(ends[hi_b - 1])
+        byte_lo, byte_hi = bit_lo // 8, (bit_hi + 7) // 8
+        with open(src_path, "rb") as fp:
+            fp.seek(hdr.payload_offset + byte_lo)
+            payload = fp.read(byte_hi - byte_lo)
+        rel_starts = starts[lo_b:hi_b] - byte_lo * 8
+        rel_ends = ends[lo_b:hi_b] - byte_lo * 8
+        out_lo = lo_b * hdr.block_len
+        out_len = min(hdr.orig_len, hi_b * hdr.block_len) - out_lo
+        if hdr.tree.is_leaf(hdr.tree.root):
+            out_bytes = bytes([int(hdr.tree.letters[hdr.tree.root])]) * out_len
+        elif device:
+            from ..kernels.decode import decode_rows_device, payload_to_lane_words
+
+            rows, bit0 = payload_to_lane_words(
+                payload, rel_starts, rel_ends, hdr.block_len
+            )
+            nbits = (rel_ends - rel_starts).astype(np.int32)
+            out_arr = decode_rows_device(rows, bit0, nbits, hdr.tree,
+                                         hdr.block_len)
+            out_bytes = out_arr.reshape(-1)[:out_len].tobytes()
+        else:
+            from ..io.stream import _native
+
+            nat = _native()
+            if nat is None:
+                raise RuntimeError("host multihost decode needs the native lib")
+            tables = nat.build_dfa(hdr.tree)
+            nb = hi_b - lo_b
+            caps = np.full(nb, hdr.block_len, dtype=np.uint64)
+            caps[-1] = out_len - (nb - 1) * hdr.block_len
+            offs = np.arange(nb, dtype=np.uint64) * hdr.block_len
+            out_buf, out_lens = nat.decode_blocks(
+                np.frombuffer(payload, dtype=np.uint8),
+                rel_starts.astype(np.uint64), rel_ends.astype(np.uint64),
+                tables, offs, caps, threads)
+            out_bytes = out_buf[:out_len].tobytes()
+        fd = os.open(dst_path, os.O_WRONLY)
+        try:
+            os.pwrite(fd, out_bytes, out_lo)
+        finally:
+            os.close(fd)
+    _barrier("tpuhuff:hf2dec:done")

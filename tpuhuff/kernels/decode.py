@@ -392,10 +392,62 @@ def decode_blocks_canonical(
                         decode_window)
 
 
+def decode_rows_device(
+    rows, bit0, nbits, tree: HuffTree, block_len: int,
+    unroll: int | None = None,
+) -> np.ndarray:
+    """Decode per-lane word rows with the best available device path:
+
+    1. Pallas VMEM canonical ladder kernel — TPU, canonical codes,
+       block fits VMEM (sessions 9-10: 13.7 GB/s @ BL=128 vs 8.3 XLA).
+    2. XLA canonical ladder scan.
+    3. XLA general interval scan (any prefix tree, e.g. foreign ``.hff``).
+
+    Override with ``TPUHUFF_DECODER=xla|pallas``.  Returns (B, block_len)
+    uint8 (numpy).
+    """
+    import os
+
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if unroll is None:  # widest unroll dividing block_len (HW sweet spot: 8);
+        # plain scan off-TPU — the wide unrolled step compiles slowly on CPU
+        cands = (8, 4, 2, 1) if on_tpu else (1,)
+        unroll = next(s for s in cands if block_len % s == 0)
+    pref = os.environ.get("TPUHUFF_DECODER", "").lower()
+    canon = make_canonical_decode_tables(tree)
+    want_pallas = (pref == "pallas") or (pref != "xla" and on_tpu)
+    # VMEM bound: word buffer + output block per grid cell
+    fits = np.shape(rows)[1] <= 1024 and block_len <= 1024
+    if canon is not None and want_pallas and fits and block_len % unroll == 0:
+        from .pallas_decode import decode_blocks_pallas_canonical
+
+        ub, dd, perm4, ml = canon
+        return decode_blocks_pallas_canonical(
+            np.asarray(rows), np.asarray(bit0), np.asarray(nbits),
+            ub, dd, perm4, ml, block_len, unroll=unroll,
+        )
+    if canon is not None:
+        ub, dd, perm4, ml = canon
+        out = decode_blocks_canonical(
+            jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(nbits),
+            ub, dd, perm4, ml, block_len, unroll=unroll,
+        )
+    else:
+        thr, sym4, len4 = make_decode_tables(tree)
+        out = decode_blocks_device(
+            jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(nbits),
+            thr, sym4, len4, block_len, unroll=unroll,
+        )
+    return np.asarray(out)
+
+
 def decode_hf2_device(header, payload: bytes, unroll: int | None = None) -> bytes:
     """Decode a whole .hf2 payload on device; returns the original bytes.
 
-    Uses the canonical ladder decoder whenever the header tree's codes are
+    Uses the canonical ladder decoders whenever the header tree's codes are
     canonical (detected from the tree itself, not the flag — foreign files
     may flag incorrectly), else the general interval decoder.
     """
@@ -403,26 +455,8 @@ def decode_hf2_device(header, payload: bytes, unroll: int | None = None) -> byte
     starts = np.concatenate([[0], ends[:-1]])
     rows, bit0 = payload_to_lane_words(payload, starts, ends, header.block_len)
     nbits = (ends - starts).astype(np.int32)
-    if unroll is None:  # widest unroll dividing block_len (HW sweet spot: 8);
-        # plain scan off-TPU — the wide unrolled step compiles slowly on CPU
-        try:
-            cands = (8, 4, 2, 1) if jax.default_backend() == "tpu" else (1,)
-        except Exception:
-            cands = (1,)
-        unroll = next(s for s in cands if header.block_len % s == 0)
-    canon = make_canonical_decode_tables(header.tree)
-    if canon is not None:
-        ub, dd, perm4, ml = canon
-        out = decode_blocks_canonical(
-            jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(nbits),
-            ub, dd, perm4, ml, header.block_len, unroll=unroll,
-        )
-    else:
-        thr, sym4, len4 = make_decode_tables(header.tree)
-        out = decode_blocks_device(
-            jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(nbits),
-            thr, sym4, len4, header.block_len, unroll=unroll,
-        )
+    out = decode_rows_device(rows, bit0, nbits, header.tree,
+                             header.block_len, unroll)
     # rows are block_len apart in the original stream, so the flat view is
     # the stream itself (padding symbols land past orig_len and are cut)
-    return np.asarray(out).reshape(-1)[: header.orig_len].tobytes()
+    return out.reshape(-1)[: header.orig_len].tobytes()
