@@ -222,3 +222,48 @@ def test_encode_blocks_transposed_valid_lens():
                            transposed=True)
     assert np.array_equal(np.asarray(b0), np.asarray(b1))
     assert np.array_equal(np.asarray(w0), np.asarray(w1))
+
+
+@pytest.mark.parametrize("alphabet", [2, 17, 41, 256])
+def test_encode_canonical_ladder_lut_parity(alphabet):
+    from tpuhuff.core.canonical import canonicalize
+    from tpuhuff.kernels.encode import make_canonical_encode_tables
+
+    rng = np.random.default_rng(alphabet + 3)
+    data = rng.integers(0, alphabet, (4, 512), dtype=np.uint8)
+    tree = canonicalize(_tree_for(data.reshape(-1)))
+    lens, codes = tree.encode_tables()
+    dl, da = make_encode_tables(lens, codes)
+    ml = int(lens.max())
+    tabs = make_canonical_encode_tables(tree)
+    assert tabs is not None and tabs[4] == ml
+    w0, b0 = encode_blocks(data, dl, da, max_code_len=ml)
+    w1, b1 = encode_blocks(data, dl, da, max_code_len=ml,
+                           canon_tables=tabs[:4])
+    assert np.array_equal(np.asarray(b0), np.asarray(b1))
+    assert np.array_equal(np.asarray(w0), np.asarray(w1))
+
+
+def test_encode_canonical_ladder_missing_letter_sentinel():
+    from tpuhuff.core.canonical import canonicalize
+    from tpuhuff.kernels.encode import make_canonical_encode_tables
+
+    data = np.array([[1, 2, 1, 200, 200, 200, 200, 200]], dtype=np.uint8)
+    tree = canonicalize(_tree_for(np.array([1, 2, 1], dtype=np.uint8)))
+    lens, codes = tree.encode_tables()
+    dl, da = make_encode_tables(lens, codes)
+    tabs = make_canonical_encode_tables(tree)
+    w, b = encode_blocks(data, dl, da, max_code_len=int(lens.max()),
+                         canon_tables=tabs[:4])
+    ref_payload, ref_pad = pack_codes_u8(np.array([1, 2, 1], dtype=np.uint8),
+                                         lens, codes)
+    assert int(b[0]) == len(ref_payload) * 8 - ref_pad
+    assert words_to_payload(np.asarray(w[0]), int(b[0])) == ref_payload
+
+
+def test_encode_canonical_tables_reject_noncanonical():
+    from tpuhuff.kernels.encode import make_canonical_encode_tables
+
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 200, 4096, dtype=np.uint8)
+    assert make_canonical_encode_tables(_tree_for(data)) is None

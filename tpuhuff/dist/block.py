@@ -79,24 +79,32 @@ def sharded_histogram(
 
 def sharded_encode(
     blocks: jnp.ndarray, valid_lens: jnp.ndarray, lens_lut, acodes_lut,
-    mesh: Mesh, max_code_len: int | None = None,
+    mesh: Mesh, max_code_len: int | None = None, canon_tables=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack (B, N) blocks data-parallel; returns (words (B, W), bits (B,))."""
 
+    from ..kernels import encode_blocks as _xla_encode
+
     encode = get_block_encoder()
+    if encode is not _xla_encode:
+        canon_tables = None  # the pallas merge takes the dense-LUT path
 
-    def shard(local, valid, ll, al):
+    def shard(local, valid, ll, al, *canon):
+        kw = {}
         if max_code_len is not None:
-            return encode(local, ll, al, valid, max_code_len=max_code_len)
-        return encode(local, ll, al, valid)
+            kw["max_code_len"] = max_code_len
+        if canon:
+            kw["canon_tables"] = canon
+        return encode(local, ll, al, valid, **kw)
 
+    canon = tuple(canon_tables) if canon_tables is not None else ()
     fn = jax.shard_map(
         shard,
         mesh=mesh,
-        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(), P()),
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(), P()) + (P(),) * len(canon),
         out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
     )
-    return jax.jit(fn)(blocks, valid_lens, lens_lut, acodes_lut)
+    return jax.jit(fn)(blocks, valid_lens, lens_lut, acodes_lut, *canon)
 
 
 def encode_pipeline(
@@ -143,10 +151,17 @@ def encode_pipeline_arrays(
     # than 32 the pipeline switches to the optimal length-limited code —
     # still a valid .hff tree, marginally larger output (PARITY.md)
     tree, _limited = build_tree_for_device(ByteWeights(counts), max_len=max_code_len)
+    canon_tabs = None
     if canonical:
+        from ..kernels.encode import make_canonical_encode_tables
+
         tree = canonicalize(tree)
+        tabs = make_canonical_encode_tables(tree)
+        if tabs is not None:
+            canon_tabs = tabs[:4]  # arrays; max_len rides max_code_len below
     lens, codes = tree.encode_tables()
     dl, da = make_encode_tables(lens, codes)
     words, bits = sharded_encode(jblocks, jvalid, dl, da, mesh,
-                                 max_code_len=int(lens.max()))
+                                 max_code_len=int(lens.max()),
+                                 canon_tables=canon_tabs)
     return words, bits, tree

@@ -122,6 +122,102 @@ def _lut_lookup(data: jnp.ndarray, lens_lut, acodes_lut, gather_free: bool):
     )
 
 
+def make_canonical_encode_tables(tree):
+    """Fast-path encode tables for CANONICAL codes, or None otherwise.
+
+    With canonical codes the per-symbol (len, left-aligned code) lookup
+    collapses from two select trees over 256 entries (~320 fused ops) to
+    ~110: ``rank = invperm[byte]`` (packed 4-per-word, 63 selects), then a
+    ladder of ``max_len-1`` compares on the rank recovers the length and
+    folds the code-base offset, and one variable shift left-aligns —
+    ``code = (rank + d[len]) << (32 - len)`` (the exact inverse of the
+    decode ladder, :func:`tpuhuff.kernels.decode.make_canonical_decode_tables`).
+
+    Returns ``(invperm4 u32[64], present u32[8], cumle i32[32], dd i32[32],
+    max_len)``; bytes outside the alphabet get length 0 (no bits), matching
+    the sentinel semantics of the dense-LUT path.
+    """
+    from ..core.canonical import canonical_codes_from_lengths
+
+    codes = tree.read_codes()
+    lengths = [(letter, code.length) for letter, code in codes.items()]
+    if not lengths or any(l > 32 for _, l in lengths):
+        return None
+    try:
+        want = canonical_codes_from_lengths(lengths)
+    except (ValueError, TypeError):
+        return None
+    for letter, code in codes.items():
+        if want[letter] != (code.value, code.length):
+            return None
+    items = sorted(codes.items(), key=lambda kv: (kv[1].length, kv[0]))
+    ml = max(l for _, l in lengths)
+    count = np.zeros(ml + 1, dtype=np.int64)
+    for _, l in lengths:
+        count[l] += 1
+    first = np.zeros(ml + 1, dtype=np.int64)
+    code_v = 0
+    for L in range(1, ml + 1):
+        code_v = (code_v + count[L - 1]) << 1
+        first[L] = code_v
+    cum_before = np.concatenate([[0], np.cumsum(count[1:])])[:-1]
+    cumle = np.full(32, 1 << 30, dtype=np.int32)  # rank cum count of len<=L
+    for L in range(1, ml):
+        cumle[L - 1] = int(cum_before[L - 1] + count[L])
+    dval = [int(first[L] - cum_before[L - 1]) for L in range(1, ml + 1)]
+    dd = np.zeros(32, dtype=np.int32)
+    dd[0] = dval[0]
+    for j in range(1, ml):
+        dd[j] = dval[j] - dval[j - 1]
+    invperm = np.zeros(256, dtype=np.uint8)
+    present = np.zeros(256, dtype=bool)
+    for rank, (letter, _) in enumerate(items):
+        invperm[int(letter)] = rank
+        present[int(letter)] = True
+    pbits = np.zeros(8, dtype=np.uint32)
+    for b in range(256):
+        if present[b]:
+            pbits[b >> 5] |= np.uint32(1) << np.uint32(b & 31)
+    inv = invperm.astype(np.uint32)
+    inv4 = inv[0::4] | (inv[1::4] << 8) | (inv[2::4] << 16) | (inv[3::4] << 24)
+    return (
+        jnp.asarray(inv4),
+        jnp.asarray(pbits),
+        jnp.asarray(cumle),
+        jnp.asarray(dd),
+        ml,
+    )
+
+
+def lut_canonical(
+    data_i32: jnp.ndarray, invperm4, present, cumle, dd, max_len: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(lens, left-aligned acodes) for canonical codes, ladder-style."""
+    # rank via packed 4-per-word inverse permutation
+    bits = [((data_i32 >> (k + 2)) & 1) == 1 for k in range(6)]
+    word = _select_tree(bits, invperm4, 0, 64)
+    sh = ((data_i32 & 3).astype(jnp.uint32) * 8)
+    rank = ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+    # length + folded code base from the rank ladder
+    ln = jnp.ones_like(rank)
+    dlt = dd[0] + jnp.zeros_like(rank)
+    for L in range(1, max_len):
+        ind = (rank >= cumle[L - 1]).astype(jnp.int32)
+        ln = ln + ind
+        dlt = dlt + ind * dd[L]
+    # alphabet membership: bytes without a code emit nothing (len 0)
+    wbits = [((data_i32 >> (k + 5)) & 1) == 1 for k in range(3)]
+    pword = _select_tree(wbits, present, 0, 8)
+    member = ((pword >> (data_i32.astype(jnp.uint32) & 31)) & 1) == 1
+    ln = jnp.where(member, ln, 0)
+    val = (rank + dlt).astype(jnp.uint32)
+    acode = jnp.where(
+        ln == 0, jnp.uint32(0),
+        val << ((jnp.uint32(32) - ln.astype(jnp.uint32)) & 31),
+    )
+    return ln, acode
+
+
 def _shift_right_bits(
     vals: jnp.ndarray, shift: jnp.ndarray, out_w: int,
     max_shift: int | None = None,
@@ -266,6 +362,7 @@ def encode_blocks(
     gather_free: bool | None = None,
     max_code_len: int | None = None,
     transposed: bool | None = None,
+    canon_tables=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack blocks of bytes into Huffman bitstreams.
 
@@ -282,6 +379,9 @@ def encode_blocks(
     and the output word count to what the bound allows.
     ``transposed`` runs the merge in (symbols, words, blocks) layout with
     the block axis in TPU lanes (see :func:`_shift_right_bits_t`).
+    ``canon_tables`` (from :func:`make_canonical_encode_tables`, requires
+    ``max_code_len``) switches the symbol lookup to the ~3x-cheaper
+    canonical ladder; the packed bits are identical.
     """
     if data.ndim == 1:
         data = data[None, :]
@@ -291,8 +391,17 @@ def encode_blocks(
     assert N & (N - 1) == 0, "block length must be a power of two"
     mb = None if max_code_len is None else int(max_code_len)
     gf = _auto_gather_free(gather_free)
+
+    def lookup(d2):
+        if canon_tables is not None:
+            assert mb is not None, "canon_tables requires max_code_len"
+            inv4, present, cumle, dd = canon_tables
+            return lut_canonical(d2.astype(jnp.int32), inv4, present,
+                                 cumle, dd, mb)
+        return _lut_lookup(d2, lens_lut, acodes_lut, gf)
+
     if _auto_transposed(transposed):
-        lens, acodes = _lut_lookup(data.T, lens_lut, acodes_lut, gf)  # (N, B)
+        lens, acodes = lookup(data.T)  # (N, B)
         if valid_lens is not None:
             mask = jnp.arange(N, dtype=jnp.int32)[:, None] < valid_lens[None, :]
             lens = jnp.where(mask, lens, 0)
@@ -304,7 +413,7 @@ def encode_blocks(
             if mb is not None:
                 mb = min(2 * mb, 32 * vals.shape[1])
         return vals[0].T, cur[0]
-    lens, acodes = _lut_lookup(data, lens_lut, acodes_lut, gf)
+    lens, acodes = lookup(data)
     if valid_lens is not None:
         mask = jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None]
         lens = jnp.where(mask, lens, 0)
