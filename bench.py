@@ -26,7 +26,7 @@ import numpy as np
 PER_CHIP_BASELINE_GBPS = 10.0 / 8.0
 
 DATA_MB = int(os.environ.get("BENCH_MB", "16"))
-BLOCK_LEN = int(os.environ.get("BENCH_BLOCK", "512"))  # session 9 sweep optimum
+BLOCK_LEN = int(os.environ.get("BENCH_BLOCK", "256"))  # session 13 pallas optimum
 DEC_BLOCK = int(os.environ.get("BENCH_DEC_BLOCK", "128"))
 K1 = int(os.environ.get("BENCH_K1", "2"))
 K2 = int(os.environ.get("BENCH_K2", "16"))  # wide spread: slope error ~1/(K2-K1)

@@ -181,22 +181,32 @@ def read_compress_write(
         dst.write(bytes([(tree_padding << 4) | data_padding]))
 
 
-def _device_encoder(tree: HuffTree, block_len: int = 512):
-    """Chunk encoder routed through the JAX device pipeline."""
+def _device_encoder(tree: HuffTree, block_len: int = 256):
+    """Chunk encoder routed through the JAX device pipeline.
+
+    When the tree's codes happen to be canonical (always true for the
+    `.hf2` path and any canonicalized tree) the canonical ladder tables are
+    passed through, which on TPU also enables the fused Pallas VMEM kernel
+    (`kernels/pallas_encode2.py`).  Block 256 is the session-13 optimum for
+    that kernel."""
     from ..dist import stitch_words
     from ..dist.block import pad_to_blocks
-    from ..kernels.encode import encode_blocks, make_encode_tables
+    from ..kernels.encode import (
+        encode_blocks, make_canonical_encode_tables, make_encode_tables,
+    )
 
     import jax.numpy as jnp
 
     lens_t, codes_t = tree.encode_tables()
     dl, da = make_encode_tables(lens_t, codes_t)
     ml = int(lens_t.max())
+    tabs = make_canonical_encode_tables(tree)
+    canon_tabs = tabs[:4] if tabs is not None else None
 
     def encode(data: np.ndarray) -> tuple[bytes, int]:
         blocks, valid, _ = pad_to_blocks(data, block_len, 1)
         words, bits = encode_blocks(jnp.asarray(blocks), dl, da, jnp.asarray(valid),
-                                    max_code_len=ml)
+                                    max_code_len=ml, canon_tables=canon_tabs)
         payload, pad = stitch_words(np.asarray(words), np.asarray(bits))
         return payload, len(payload) * 8 - pad
 

@@ -1,8 +1,11 @@
 """JAX/XLA/Pallas device kernels: histogram, bit-pack encode, decode.
 
-Backend selection: ``TPUHUFF_BACKEND=xla`` (default) uses the pure-XLA
-doubling merge; ``TPUHUFF_BACKEND=pallas`` routes block packing through the
-VMEM-resident Pallas kernel (same bits, less HBM traffic).
+Backend selection: by default :func:`encode_blocks` auto-routes to the
+fused canonical Pallas VMEM kernel on TPU (when canonical tables are given
+and ``max_code_len <= 16``) and to the pure-XLA doubling merge otherwise.
+``TPUHUFF_BACKEND=xla`` force-disables the auto-Pallas path;
+``TPUHUFF_BACKEND=pallas`` selects the v1 (dense-LUT) Pallas pack kernel
+for :func:`get_block_encoder` callers.
 """
 
 import os

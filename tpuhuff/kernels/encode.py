@@ -351,9 +351,28 @@ def _auto_transposed(transposed):
     return bool(transposed)
 
 
+def _auto_pallas(pallas):
+    """Fused Pallas VMEM kernel: on by default on TPU (session 13: 7.7-9.9
+    GB/s e2e vs 5.7 for the XLA merge; requires canonical tables and
+    ``max_code_len <= 16`` so symbol pairs merge inside one u32).
+    ``TPUHUFF_BACKEND=xla`` force-disables it."""
+    if pallas is None:
+        import os
+
+        if os.environ.get("TPUHUFF_BACKEND", "").lower() == "xla":
+            return False
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+    return bool(pallas)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "gather_free", "max_code_len", "transposed"),
+    static_argnames=(
+        "block_len", "gather_free", "max_code_len", "transposed", "pallas",
+    ),
 )
 def encode_blocks(
     data: jnp.ndarray, lens_lut: jnp.ndarray, acodes_lut: jnp.ndarray,
@@ -363,6 +382,7 @@ def encode_blocks(
     max_code_len: int | None = None,
     transposed: bool | None = None,
     canon_tables=None,
+    pallas: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack blocks of bytes into Huffman bitstreams.
 
@@ -382,6 +402,11 @@ def encode_blocks(
     ``canon_tables`` (from :func:`make_canonical_encode_tables`, requires
     ``max_code_len``) switches the symbol lookup to the ~3x-cheaper
     canonical ladder; the packed bits are identical.
+    ``pallas`` routes the whole lookup+merge through the fused VMEM kernel
+    (:func:`tpuhuff.kernels.pallas_encode2.encode_blocks_pallas2`) — auto on
+    TPU when the tables and the ``2*max_code_len <= 32`` pair-merge bound
+    allow it; bit-identical output (words array may be a different width —
+    always index by the returned bit lengths).
     """
     if data.ndim == 1:
         data = data[None, :]
@@ -391,6 +416,17 @@ def encode_blocks(
     assert N & (N - 1) == 0, "block length must be a power of two"
     mb = None if max_code_len is None else int(max_code_len)
     gf = _auto_gather_free(gather_free)
+
+    if (
+        _auto_pallas(pallas)
+        and canon_tables is not None
+        and mb is not None
+        and 2 * mb <= 32
+        and N >= 2
+    ):
+        from .pallas_encode2 import encode_blocks_pallas2
+
+        return encode_blocks_pallas2(data, canon_tables, mb, valid_lens)
 
     def lookup(d2):
         if canon_tables is not None:

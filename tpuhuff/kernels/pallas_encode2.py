@@ -1,14 +1,19 @@
 """Pallas TPU kernel v2: fused canonical-LUT + width-bounded VMEM bit-merge.
 
-Differences from :mod:`pallas_encode` (v1), driven by sessions 6-10:
+Differences from :mod:`pallas_encode` (v1), driven by sessions 6-12:
 
 * **Fused symbol lookup.** The canonical ladder LUT (inverse-permutation
   rank + compare ladder, ~110 ops/symbol vs ~320 for the dense select
   trees) runs inside the kernel, so per-symbol (len, acode) never touch
   HBM.  Requires canonical codes — what the pipeline emits by default.
-* **Halved merge rows.** When ``2*max_len <= 32`` the first level merges
-  symbol pairs *within* one u32 (no word shift at all) and compacts with a
-  stride-2 row slice; every later level then runs on N/2 rows instead of N.
+* **Halved merge rows.** When ``2*max_len <= 32`` each int32 input element
+  carries a *pair* of symbols (``sym0 | sym1 << 8``, packed by XLA outside
+  the kernel, where strided slices are native); the kernel runs the ladder
+  on both bytes and merges the pair inside one u32, so every merge level
+  runs on N/2 rows.  Session 12 showed the in-kernel stride-2 compaction
+  (``x[0::2]``) lowers to ``lax.gather``, which Mosaic rejects
+  ("Shape mismatch in input, indices and output") — packing the pairs in
+  the *layout* instead keeps the kernel gather-free.
 * **Width-bounded shift trees.** At each level the A-part bit length is
   bounded by ``ML * group_syms``, so the word-granularity roll needs only
   ``log2(bound/32)`` select levels after a static pre-roll — ~half of v1's
@@ -54,18 +59,20 @@ def _roll_up_masked(x, s, group_rows):
     return jnp.where(same, rolled, jnp.zeros_like(rolled))
 
 
-def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
-                   dd_ref, words_ref, bits_ref, *, N: int, ML: int):
-    d = data_ref[:]  # (N, 128) int32
-    row = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
+def _ladder(d, sym_idx, valid, inv4_ref, pres_ref, cumle_ref, dd_ref,
+            ML: int):
+    """Canonical ladder LUT on a byte array ``d`` (int32, 0..255).
 
-    # ---- canonical ladder LUT (see kernels.encode.lut_canonical) ----
+    Returns ``(x, ln)`` — the left-aligned code word and its bit length
+    (0 for out-of-alphabet bytes or ``sym_idx >= valid``).  Mirrors
+    :func:`tpuhuff.kernels.encode.lut_canonical`.
+    """
     bits_d = [((d >> (k + 2)) & 1) == 1 for k in range(6)]
     word = _sel_scalar(bits_d, inv4_ref, 0, 64)
     sh = ((d & 3).astype(jnp.uint32) * 8)
     rank = ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
-    ln = jnp.ones((N, LANES), jnp.int32)
-    dlt = dd_ref[0, 0] + jnp.zeros((N, LANES), jnp.int32)
+    ln = jnp.ones(d.shape, jnp.int32)
+    dlt = dd_ref[0, 0] + jnp.zeros(d.shape, jnp.int32)
     for L in range(1, ML):
         ind = (rank >= cumle_ref[0, L - 1]).astype(jnp.int32)
         ln = ln + ind
@@ -73,24 +80,36 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
     wbits = [((d >> (k + 5)) & 1) == 1 for k in range(3)]
     pword = _sel_scalar(wbits, pres_ref, 0, 8)
     member = ((pword >> (d.astype(jnp.uint32) & 31)) & 1) == 1
-    ln = jnp.where(member & (row < valid_ref[:]), ln, 0)
+    ln = jnp.where(member & (sym_idx < valid), ln, 0)
     x = jnp.where(
         ln == 0, jnp.uint32(0),
         (rank + dlt).astype(jnp.uint32)
         << ((jnp.uint32(32) - ln.astype(jnp.uint32)) & 31),
     )
-    alen = ln
+    return x, ln
 
-    halved = 2 * ML <= 32
+
+def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
+                   dd_ref, words_ref, bits_ref, *, N: int, ML: int,
+                   halved: bool):
+    d = data_ref[:]  # (rows, 128) int32: one byte, or a packed pair
+    rows = d.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    valid = valid_ref[:]
+
     if halved:
-        # ---- level 0: pair merge inside one u32, stride-2 compaction ----
-        a, b = x[0::2], x[1::2]
-        la, lb = alen[0::2], alen[1::2]
-        x = a | (b >> la.astype(jnp.uint32))  # la<32; la==0 => a==0
-        alen = la + lb
-        rows, W, gsyms = N // 2, 1, 2
+        # ---- fused LUT on both bytes + pair merge inside one u32 ----
+        x0, l0 = _ladder(d & 0xFF, 2 * row, valid, inv4_ref, pres_ref,
+                         cumle_ref, dd_ref, ML)
+        x1, l1 = _ladder((d >> 8) & 0xFF, 2 * row + 1, valid, inv4_ref,
+                         pres_ref, cumle_ref, dd_ref, ML)
+        x = x0 | (x1 >> l0.astype(jnp.uint32))  # l0 <= ML <= 16 < 32
+        alen = l0 + l1
+        W, gsyms = 1, 2
     else:
-        rows, W, gsyms = N, 1, 1
+        x, alen = _ladder(d, row, valid, inv4_ref, pres_ref, cumle_ref,
+                          dd_ref, ML)
+        W, gsyms = 1, 1
 
     # ---- doubling levels with width-bounded shift trees ----
     while gsyms < N:
@@ -141,34 +160,49 @@ def _roll_down(x, s):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_len", "interpret")
+    jax.jit, static_argnames=("n_syms", "max_len", "halved", "interpret")
 )
-def _encode_call(data_t, valid_t, inv4, pres, cumle, dd, max_len, interpret):
-    N, B = data_t.shape
-    halved = 2 * max_len <= 32
-    N2 = N // 2 if halved else N
-    kernel = functools.partial(_encode_kernel, N=N, ML=max_len)
+def _encode_call(data_t, valid_t, inv4, pres, cumle, dd, n_syms, max_len,
+                 halved, interpret):
+    rows, B = data_t.shape
+    kernel = functools.partial(
+        _encode_kernel, N=n_syms, ML=max_len, halved=halved
+    )
     return pl.pallas_call(
         kernel,
         grid=(B // LANES,),
         in_specs=[
-            pl.BlockSpec((N, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((N2, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N2, B), jnp.uint32),
+            jax.ShapeDtypeStruct((rows, B), jnp.uint32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         interpret=interpret,
     )(data_t, valid_t, inv4, pres, cumle, dd)
+
+
+def pack_pairs(data: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) uint8 -> (N/2, B) int32 with ``sym(2r) | sym(2r+1) << 8``.
+
+    Runs in XLA (strided slices are native there; inside Mosaic they lower
+    to an unsupported gather) — this is the kernel-input layout transform.
+    """
+    d = data.astype(jnp.int32)
+    return (d[:, 0::2] | (d[:, 1::2] << 8)).T
 
 
 def encode_blocks_pallas2(
@@ -200,15 +234,18 @@ def encode_blocks_pallas2(
                 [jnp.full(B, N, jnp.int32), jnp.zeros(Bp - B, jnp.int32)]
             )
     inv4, pres, cumle, dd = canon_tables
-    data_t = data.T.astype(jnp.int32)
+    halved = 2 * max_len <= 32 and N >= 2
+    data_t = pack_pairs(data) if halved else data.T.astype(jnp.int32)
     valid_t = (jnp.full((1, Bp), N, jnp.int32) if valid_lens is None
                else valid_lens.astype(jnp.int32)[None, :])
     inv4 = jnp.asarray(inv4, jnp.uint32).reshape(1, 64)
     pres = jnp.asarray(pres, jnp.uint32).reshape(1, 8)
-    cumle32 = jnp.zeros((1, 32), jnp.int32).at[0, : np.asarray(cumle).size].set(
+    # .size is static even on tracers (encode_blocks calls this inside jit)
+    cumle32 = jnp.zeros((1, 32), jnp.int32).at[0, : cumle.size].set(
         jnp.asarray(cumle, jnp.int32))
-    dd32 = jnp.zeros((1, 32), jnp.int32).at[0, : np.asarray(dd).size].set(
+    dd32 = jnp.zeros((1, 32), jnp.int32).at[0, : dd.size].set(
         jnp.asarray(dd, jnp.int32))
     words_t, bits_t = _encode_call(data_t, valid_t, inv4, pres, cumle32,
-                                   dd32, int(max_len), bool(interpret))
+                                   dd32, int(N), int(max_len), halved,
+                                   bool(interpret))
     return words_t.T[:B], bits_t[0, :B]
