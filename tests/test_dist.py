@@ -121,3 +121,28 @@ def test_encode_pipeline_deep_tree_fallback():
     payload, pad = stitch_words(words, bits)
     comp = CompressData(payload, pad, tree)
     assert tpuhuff.decompress(comp) == raw.tobytes()
+
+
+def test_sharded_encode_raises_on_stale_tree():
+    # coverage guard in the sharded path (VERDICT r1 #7)
+    from tpuhuff.core.format import CompressError
+    from tpuhuff.dist.block import sharded_encode
+    from tpuhuff.kernels import make_encode_tables
+
+    rng = np.random.default_rng(11)
+    train = rng.integers(0, 64, 8 * 256, dtype=np.uint8)
+    tree = tpuhuff.HuffTree.from_weights(tpuhuff.ByteWeights.from_bytes(train))
+    dl, da = make_encode_tables(*tree.encode_tables())
+    mesh = make_mesh()
+    data = train.copy()
+    data[5] = 200  # not in the tree
+    blocks, valid, _ = pad_to_blocks(data, 256, mesh.devices.size)
+    import jax.numpy as jnp
+
+    with pytest.raises(CompressError):
+        sharded_encode(jnp.asarray(blocks), jnp.asarray(valid), dl, da, mesh)
+    # clean data passes with the guard on
+    blocks, valid, _ = pad_to_blocks(train, 256, mesh.devices.size)
+    words, bits = sharded_encode(jnp.asarray(blocks), jnp.asarray(valid),
+                                 dl, da, mesh)
+    assert int(np.asarray(bits).sum()) > 0

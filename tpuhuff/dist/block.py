@@ -24,13 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..kernels import get_block_encoder, make_encode_tables
+from ..kernels import encode_blocks, make_encode_tables
 from ..kernels.histogram import histogram
 from .mesh import BLOCK_AXIS, make_mesh
 
 __all__ = [
     "sharded_histogram",
     "sharded_encode",
+    "sharded_count_missing",
     "encode_pipeline",
     "encode_pipeline_arrays",
     "pad_to_blocks",
@@ -77,17 +78,54 @@ def sharded_histogram(
     return np.asarray(jax.jit(fn)(blocks, valid_lens))
 
 
+def sharded_count_missing(
+    blocks: jnp.ndarray, valid_lens: jnp.ndarray, lens_lut, mesh: Mesh,
+) -> int:
+    """Global count of valid bytes with no code (LUT len 0) over the mesh.
+
+    The sharded twin of :func:`tpuhuff.kernels.encode.count_missing` — the
+    guard for the silent missing-letter case (`comp.rs:427-432`)."""
+    from ..kernels.encode import _auto_gather_free, lut_lens
+
+    gf = _auto_gather_free(None)
+
+    def shard(local, valid, ll):
+        idx = local.astype(jnp.int32)
+        lens = lut_lens(idx, ll) if gf else jnp.take(ll, idx, axis=0)
+        N = local.shape[-1]
+        miss = jnp.where(
+            jnp.arange(N, dtype=jnp.int32)[None, :] < valid[:, None],
+            (lens == 0).astype(jnp.int32), 0,
+        )
+        return jax.lax.psum(jnp.sum(miss), BLOCK_AXIS)
+
+    fn = jax.shard_map(
+        shard, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P()), out_specs=P(),
+    )
+    return int(jax.jit(fn)(blocks, valid_lens, lens_lut))
+
+
 def sharded_encode(
     blocks: jnp.ndarray, valid_lens: jnp.ndarray, lens_lut, acodes_lut,
     mesh: Mesh, max_code_len: int | None = None, canon_tables=None,
+    check_missing: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack (B, N) blocks data-parallel; returns (words (B, W), bits (B,))."""
+    """Pack (B, N) blocks data-parallel; returns (words (B, W), bits (B,)).
 
-    from ..kernels import encode_blocks as _xla_encode
+    ``check_missing`` (default on): one extra LUT pass counting bytes with
+    no code; raises :class:`CompressError` instead of silently dropping
+    them (reference `comp.rs:427-432`).  :func:`encode_pipeline` passes
+    False — its histogram-vs-LUT host check already guarantees coverage.
+    """
+    if check_missing:
+        n_miss = sharded_count_missing(blocks, valid_lens, lens_lut, mesh)
+        if n_miss:
+            from ..core.format import CompressError
 
-    encode = get_block_encoder()
-    if encode is not _xla_encode:
-        canon_tables = None  # the pallas merge takes the dense-LUT path
+            raise CompressError(
+                f"letter not found in codes ({n_miss} bytes)", None
+            )
 
     def shard(local, valid, ll, al, *canon):
         kw = {}
@@ -95,7 +133,7 @@ def sharded_encode(
             kw["max_code_len"] = max_code_len
         if canon:
             kw["canon_tables"] = canon
-        return encode(local, ll, al, valid, **kw)
+        return encode_blocks(local, ll, al, valid, **kw)
 
     canon = tuple(canon_tables) if canon_tables is not None else ()
     fn = jax.shard_map(
@@ -160,8 +198,17 @@ def encode_pipeline_arrays(
         if tabs is not None:
             canon_tabs = tabs[:4]  # arrays; max_len rides max_code_len below
     lens, codes = tree.encode_tables()
+    # coverage guard (reference `comp.rs:427-432`): every byte seen by the
+    # histogram must have a code, or the kernels would silently emit 0 bits
+    # for it.  Free on host; can only trip if the tree builder misbehaves.
+    uncovered = np.flatnonzero((counts > 0) & (np.asarray(lens) == 0))
+    if uncovered.size:
+        from ..core.format import CompressError
+
+        raise CompressError("letter not found in codes", int(uncovered[0]))
     dl, da = make_encode_tables(lens, codes)
     words, bits = sharded_encode(jblocks, jvalid, dl, da, mesh,
                                  max_code_len=int(lens.max()),
-                                 canon_tables=canon_tabs)
+                                 canon_tables=canon_tabs,
+                                 check_missing=False)
     return words, bits, tree

@@ -49,7 +49,16 @@ import numpy as np
 from ..core.bits import BitString, calc_padding_bits
 from ..core.tree import HuffTree
 
-__all__ = ["HFF_MAGIC_NONE", "HF2_MAGIC", "Hf2Header", "write_hf2", "read_hf2_header"]
+__all__ = [
+    "HFF_MAGIC_NONE",
+    "HF2_MAGIC",
+    "Hf2Header",
+    "hf2_table_width",
+    "write_hf2",
+    "write_hf2_prelude",
+    "write_hf2_table_slice",
+    "read_hf2_header",
+]
 
 HFF_MAGIC_NONE = b""  # .hff has no magic — format is positional
 HF2_MAGIC_V1 = b"HF2\x01"
@@ -72,6 +81,61 @@ class Hf2Header:
     @property
     def total_bits(self) -> int:
         return int(self.end_bits[-1]) if self.end_bits.size else 0
+
+
+def hf2_table_width(block_len: int, max_code_len: int) -> int:
+    """Block-table entry width from the static bound on per-block bit length
+    (``block_len * max_code_len``) — computable BEFORE pass 2, so the
+    streaming writer can reserve the table and patch it incrementally."""
+    bound = block_len * max(max_code_len, 1)
+    return 2 if bound < (1 << 16) else 4 if bound < (1 << 32) else 8
+
+
+def write_hf2_prelude(
+    fp: BinaryIO,
+    tree: HuffTree,
+    orig_len: int,
+    block_len: int,
+    n_blocks: int,
+    width: int,
+    canonical: bool = False,
+) -> Tuple[int, int]:
+    """Write the v2 header with a ZERO-filled block table (to be patched by
+    :func:`write_hf2_table_slice` as block lengths become known).
+
+    Returns ``(table_offset, payload_offset)``.
+    """
+    tree_bin = tree.as_bin()
+    tree_padding = calc_padding_bits(len(tree_bin))
+    tree_bytes = tree_bin.to_bytes()
+    fp.write(HF2_MAGIC)
+    fp.write(bytes([1 if canonical else 0]))
+    fp.write(bytes([width]))
+    fp.write(struct.pack(">I", len(tree_bytes)))
+    fp.write(bytes([tree_padding]))
+    fp.write(struct.pack(">Q", orig_len))
+    fp.write(struct.pack(">I", block_len))
+    fp.write(struct.pack(">I", n_blocks))
+    table_offset = fp.tell()
+    left = width * n_blocks
+    zeros = b"\x00" * min(left, 1 << 20)
+    while left > 0:
+        fp.write(zeros[: min(left, len(zeros))])
+        left -= min(left, len(zeros))
+    fp.write(tree_bytes)
+    return table_offset, fp.tell()
+
+
+def write_hf2_table_slice(
+    fp: BinaryIO, table_offset: int, width: int, first_block: int,
+    bit_lens: np.ndarray,
+) -> None:
+    """Patch per-block bit lengths for blocks ``first_block..`` in place."""
+    pos = fp.tell()
+    fp.seek(table_offset + width * first_block)
+    fp.write(np.ascontiguousarray(bit_lens, dtype=np.uint64)
+             .astype(f">u{width}").tobytes())
+    fp.seek(pos)
 
 
 def write_hf2(
@@ -97,22 +161,19 @@ def write_hf2(
         fp.write(struct.pack(">I", block_len))
         fp.write(struct.pack(">I", end.size))
         fp.write(end.astype(">u8").tobytes())
-    elif version == 2:
-        lens = np.diff(end, prepend=np.uint64(0))
-        mx = int(lens.max(initial=0))
-        width = 2 if mx < (1 << 16) else 4 if mx < (1 << 32) else 8
-        fp.write(HF2_MAGIC)
-        fp.write(bytes([1 if canonical else 0]))
-        fp.write(bytes([width]))
-        fp.write(struct.pack(">I", len(tree_bytes)))
-        fp.write(bytes([tree_padding]))
-        fp.write(struct.pack(">Q", orig_len))
-        fp.write(struct.pack(">I", block_len))
-        fp.write(struct.pack(">I", end.size))
-        fp.write(lens.astype(f">u{width}").tobytes())
-    else:
+        fp.write(tree_bytes)
+        fp.write(payload)
+        return
+    if version != 2:
         raise ValueError(f"unknown hf2 version {version}")
-    fp.write(tree_bytes)
+    lens = np.diff(end, prepend=np.uint64(0))
+    lens_lut, _ = tree.encode_tables()
+    width = hf2_table_width(block_len, int(np.asarray(lens_lut).max(initial=1)))
+    table_off, _payload_off = write_hf2_prelude(
+        fp, tree, orig_len, block_len, end.size, width, canonical
+    )
+    write_hf2_table_slice(fp, table_off, width, 0, lens)
+    fp.seek(0, 2)
     fp.write(payload)
 
 

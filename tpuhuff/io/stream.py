@@ -29,11 +29,16 @@ from typing import BinaryIO, Optional
 import numpy as np
 
 from ..core.bits import calc_padding_bits
-from ..core.codec import pack_codes_u8, unpack_codes_u8
+from ..core.codec import pack_codes_u8
 from ..core.format import CompressError
 from ..core.tree import HuffTree
 from ..core.weights import ByteWeights
-from .hff import read_hf2_header, write_hf2
+from .hff import (
+    hf2_table_width,
+    read_hf2_header,
+    write_hf2_prelude,
+    write_hf2_table_slice,
+)
 
 __all__ = [
     "read_compress_write",
@@ -181,18 +186,20 @@ def read_compress_write(
         dst.write(bytes([(tree_padding << 4) | data_padding]))
 
 
-def _device_encoder(tree: HuffTree, block_len: int = 256):
+def _device_encoder(tree: HuffTree, block_len: int | None = None):
     """Chunk encoder routed through the JAX device pipeline.
 
     When the tree's codes happen to be canonical (always true for the
     `.hf2` path and any canonicalized tree) the canonical ladder tables are
     passed through, which on TPU also enables the fused Pallas VMEM kernel
-    (`kernels/pallas_encode2.py`).  Block 256 is the session-13 optimum for
-    that kernel."""
+    (`kernels/pallas_encode2.py`).  Default block length is per path:
+    256 when the Pallas route will engage (session-13 optimum for that
+    kernel), 512 for the XLA merge (session-9 optimum)."""
     from ..dist import stitch_words
     from ..dist.block import pad_to_blocks
     from ..kernels.encode import (
-        encode_blocks, make_canonical_encode_tables, make_encode_tables,
+        _auto_pallas, count_missing, encode_blocks,
+        make_canonical_encode_tables, make_encode_tables,
     )
 
     import jax.numpy as jnp
@@ -202,10 +209,21 @@ def _device_encoder(tree: HuffTree, block_len: int = 256):
     ml = int(lens_t.max())
     tabs = make_canonical_encode_tables(tree)
     canon_tabs = tabs[:4] if tabs is not None else None
+    if block_len is None:
+        pallas_route = (
+            _auto_pallas(None) and canon_tabs is not None and 2 * ml <= 32
+        )
+        block_len = 256 if pallas_route else 512
 
     def encode(data: np.ndarray) -> tuple[bytes, int]:
         blocks, valid, _ = pad_to_blocks(data, block_len, 1)
-        words, bits = encode_blocks(jnp.asarray(blocks), dl, da, jnp.asarray(valid),
+        jblocks, jvalid = jnp.asarray(blocks), jnp.asarray(valid)
+        # missing-letter guard (`comp.rs:427-432`): possible only if the
+        # file changed between the histogram pass and this one — the device
+        # kernels would otherwise drop the byte's bits silently
+        if count_missing(jblocks, dl, jvalid):
+            raise CompressError("letter not found in codes", None)
+        words, bits = encode_blocks(jblocks, dl, da, jvalid,
                                     max_code_len=ml, canon_tables=canon_tabs)
         payload, pad = stitch_words(np.asarray(words), np.asarray(bits))
         return payload, len(payload) * 8 - pad
@@ -307,8 +325,20 @@ def read_decompress_write(
                         )
                     pos_bit = new_pos
         else:
-            payload = src.read()
-            dst.write(unpack_codes_u8(payload, data_padding, tree))
+            # no native runtime: resumable python DFA, still bounded memory
+            from ..core.codec import PyDfaDecoder
+
+            dec = PyDfaDecoder(tree)
+            left_bytes = (total_bits + 7) // 8
+            while left_bytes > 1:
+                chunk = src.read(min(left_bytes - 1, _CHUNK))
+                if not chunk:
+                    break
+                dst.write(dec.feed(chunk))
+                left_bytes -= len(chunk)
+            last = src.read(1)
+            if last:
+                dst.write(dec.finish(last[0], data_padding))
 
 
 # ---------------------------------------------------------------------------
@@ -320,11 +350,106 @@ DEVICE_HF2_BLOCK = 256   # TPU decode sweet spot (session 9: ~7 GB/s, 0.8%
 HOST_HF2_BLOCK = 65536
 
 
+def _encode_block_group(
+    data: np.ndarray, block_len: int, lens_lut, codes_lut, nat,
+) -> tuple[bytes, int, np.ndarray]:
+    """Host-encode a chunk as independent ``block_len`` blocks.
+
+    Returns ``(payload, total_bits, bit_lens)`` — the chunk's block streams
+    bit-concatenated plus the per-block bit lengths for the ``.hf2`` table.
+    """
+    nb = -(-data.size // block_len)
+    parts = []
+    bit_lens = np.zeros(nb, dtype=np.uint64)
+    for b in range(nb):
+        blk = data[b * block_len : (b + 1) * block_len]
+        p, nbits = _encode_chunk(blk, lens_lut, codes_lut, nat)
+        parts.append((p, nbits))
+        bit_lens[b] = nbits
+    if nat is not None:
+        rows_bytes = max((len(p) for p, _ in parts), default=1)
+        rows = np.zeros((nb, rows_bytes), dtype=np.uint8)
+        for b, (p, _) in enumerate(parts):
+            rows[b, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+        payload, _pad = nat.stitch_blocks(rows, bit_lens)
+    else:
+        value, total = 0, 0
+        for p, nbits in parts:
+            c = int.from_bytes(p, "big") >> (len(p) * 8 - nbits)
+            value = (value << nbits) | c
+            total += nbits
+        pad = calc_padding_bits(total)
+        payload = (value << pad).to_bytes((total + pad) // 8, "big")
+    return payload, int(bit_lens.sum()), bit_lens
+
+
+def _device_block_encoder(tree: HuffTree, block_len: int):
+    """Device encoder for ``.hf2`` block groups.
+
+    Container blocks are decoupled from kernel lanes (VERDICT r1 #4): each
+    ``block_len`` block is encoded as ``block_len // lane`` independent
+    lanes of ``lane`` bytes (the kernels' VMEM sweet spot), and the lane
+    streams are bit-concatenated in order — bit-identical to encoding the
+    whole block sequentially, since prefix-code concatenation is
+    associative.  Per-block bit lengths are lane sums.
+    """
+    from ..dist import stitch_words
+    from ..dist.block import pad_to_blocks
+    from ..kernels.encode import (
+        PALLAS_MAX_BLOCK, count_missing, encode_blocks,
+        make_canonical_encode_tables, make_encode_tables,
+    )
+
+    import jax.numpy as jnp
+
+    lens_t, codes_t = tree.encode_tables()
+    dl, da = make_encode_tables(lens_t, codes_t)
+    ml = int(lens_t.max())
+    tabs = make_canonical_encode_tables(tree)
+    canon_tabs = tabs[:4] if tabs is not None else None
+    # largest power-of-two divisor of block_len, capped at the kernel optimum
+    lane = block_len & -block_len
+    lane = min(lane, DEVICE_HF2_BLOCK if canon_tabs is not None else 512,
+               PALLAS_MAX_BLOCK)
+    L = block_len // lane if block_len % lane == 0 else 1
+    if L == 1:
+        lane = block_len
+
+    def encode(data: np.ndarray, nb: int) -> tuple[bytes, int, np.ndarray]:
+        lanes, valid, _ = pad_to_blocks(data, lane, 1)
+        want = nb * L
+        if lanes.shape[0] < want:  # final block's all-padding lanes
+            pad_rows = want - lanes.shape[0]
+            lanes = np.concatenate(
+                [lanes, np.zeros((pad_rows, lane), np.uint8)], axis=0)
+            valid = np.concatenate([valid, np.zeros(pad_rows, np.int32)])
+        jl, jv = jnp.asarray(lanes), jnp.asarray(valid)
+        if count_missing(jl, dl, jv):
+            raise CompressError("letter not found in codes", None)
+        words, bits = encode_blocks(jl, dl, da, jv, max_code_len=ml,
+                                    canon_tables=canon_tabs)
+        bits_np = np.asarray(bits).astype(np.uint64)
+        payload, pad = stitch_words(np.asarray(words), bits_np)
+        bit_lens = bits_np.reshape(nb, L).sum(axis=1)
+        return payload, int(bits_np.sum()), bit_lens
+
+    return encode
+
+
 def read_compress_write_hf2(
     src_path: str, dst_path: str, block_len: int | None = None,
     device: bool = False, canonical: bool = True,
+    chunk_bytes: int | None = None,
 ) -> None:
-    """Compress into the block-indexed ``.hf2`` container (parallel decode).
+    """Compress into the block-indexed ``.hf2`` container — STREAMING.
+
+    Two passes in bounded memory (the ``.hf2`` analogue of the reference's
+    block loop, `huff/src/comp.rs:177-227`): pass 1 streams the file into
+    the histogram; pass 2 reads ``chunk_bytes`` at a time, encodes the
+    chunk's blocks (host C++ or the device kernels), appends the payload
+    bits through the carrying :class:`_BitSink`, and patches the block
+    table in place (:func:`write_hf2_table_slice`).  Peak RAM is
+    O(chunk_bytes), independent of file size.
 
     ``canonical`` (default): assign canonical codes — same code lengths,
     hence identical compressed size, but the device decoder's fast ladder
@@ -332,106 +457,159 @@ def read_compress_write_hf2(
     device writers canonicalize identically, so their outputs stay
     byte-equal at equal ``block_len``.
     """
-    from ..core.canonical import canonicalize
+    from ..core.canonical import build_tree_for_device, canonicalize
 
     if block_len is None:
         block_len = DEVICE_HF2_BLOCK if device else HOST_HF2_BLOCK
     size = os.path.getsize(src_path)
-    with open(src_path, "rb") as src:
-        data = np.fromfile(src, dtype=np.uint8)
-    if device:
-        from ..dist import stitch_words
-        from ..dist.block import encode_pipeline
-
-        words, bits, tree, _ = encode_pipeline(data, block_len=block_len,
-                                               canonical=canonical)
-        payload, _pad = stitch_words(words, bits)
-        # drop trailing all-padding blocks from the index
-        n_blocks = max(1, -(-size // block_len)) if size else 1
-        bits = bits[:n_blocks]
-        end_bits = np.cumsum(bits.astype(np.uint64))
-    else:
-        nat = _native()
-        tree = HuffTree.from_weights(ByteWeights.from_bytes(data))
+    n_blocks = max(1, -(-size // block_len)) if size else 1
+    chunk = chunk_bytes if chunk_bytes is not None else _CHUNK
+    step = max(1, chunk // block_len) * block_len
+    with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
+        # pass 1: streamed histogram -> ONE whole-file tree
+        bw = ByteWeights()
+        left = size
+        while left > 0:
+            piece = src.read(min(step, left))
+            if not piece:
+                break
+            bw += ByteWeights.from_bytes(piece)
+            left -= len(piece)
+        if device:
+            # device codewords live in u32 lanes: length-limit deep trees
+            tree, _limited = build_tree_for_device(bw, max_len=32)
+        else:
+            tree = HuffTree.from_weights(bw)
         if canonical:
             tree = canonicalize(tree)
         lens_lut, codes_lut = tree.encode_tables()
-        n_blocks = max(1, -(-size // block_len)) if size else 1
-        parts = []
-        bit_lens = np.zeros(n_blocks, dtype=np.uint64)
-        for b in range(n_blocks):
-            blk = data[b * block_len : (b + 1) * block_len]
-            if blk.size == 0:
-                continue
-            p, nbits = _encode_chunk(blk, lens_lut, codes_lut, nat)
-            parts.append((p, nbits))
-            bit_lens[b] = nbits
-        rows_bytes = max((len(p) for p, _ in parts), default=1)
-        rows = np.zeros((n_blocks, rows_bytes), dtype=np.uint8)
-        for b, (p, _) in enumerate(parts):
-            rows[b, : len(p)] = np.frombuffer(p, dtype=np.uint8)
-        if nat is not None:
-            payload, _pad = nat.stitch_blocks(rows, bit_lens)
-        else:
-            # numpy fallback: big-int bit concat
-            value, total = 0, 0
-            for b, (p, nbits) in enumerate(parts):
-                chunk = int.from_bytes(p, "big") >> (len(p) * 8 - nbits)
-                value = (value << nbits) | chunk
-                total += nbits
-            pad = calc_padding_bits(total)
-            payload = (value << pad).to_bytes((total + pad) // 8, "big")
-        end_bits = np.cumsum(bit_lens)
-    with open(dst_path, "wb") as dst:
-        write_hf2(dst, tree, size, block_len, end_bits, payload,
-                  canonical=canonical)
+        ml = int(np.asarray(lens_lut).max(initial=1))
+        width = hf2_table_width(block_len, ml)
+        table_off, _ = write_hf2_prelude(
+            dst, tree, size, block_len, n_blocks, width, canonical
+        )
+        # pass 2: chunked encode + incremental table patch
+        src.seek(0)
+        enc = _device_block_encoder(tree, block_len) if device else None
+        nat = _native()
+        sink = _BitSink(dst)
+        bidx = 0
+        left = size
+        while left > 0:
+            piece = src.read(min(step, left))
+            if not piece:
+                break
+            data = np.frombuffer(piece, dtype=np.uint8)
+            left -= data.size
+            nb = -(-data.size // block_len)
+            if enc is not None:
+                payload, nbits, bit_lens = enc(data, nb)
+            else:
+                payload, nbits, bit_lens = _encode_block_group(
+                    data, block_len, lens_lut, codes_lut, nat
+                )
+            write_hf2_table_slice(dst, table_off, width, bidx, bit_lens)
+            sink.write(payload, nbits)
+            bidx += nb
+        sink.flush()
 
 
 def read_decompress_write_hf2(
     src_path: str, dst_path: str, threads: Optional[int] = None,
-    device: bool = False,
+    device: bool = False, chunk_bytes: int | None = None,
 ) -> None:
-    """Parallel decode of ``.hf2`` via the block index (threaded C++ or the
-    lane-parallel device kernel with ``device=True``)."""
-    with open(src_path, "rb") as src:
-        hdr = read_hf2_header(src)
-        payload = np.fromfile(src, dtype=np.uint8)
-    if device:
-        from ..kernels.decode import decode_hf2_device
+    """Parallel decode of ``.hf2`` via the block index — STREAMING.
 
-        with open(dst_path, "wb") as dst:
-            dst.write(decode_hf2_device(hdr, payload.tobytes()))
-        return
-    ends = hdr.end_bits.astype(np.uint64)
-    starts = np.concatenate([[np.uint64(0)], ends[:-1]])
-    B = hdr.num_blocks
-    out_caps = np.full(B, hdr.block_len, dtype=np.uint64)
-    if B:
-        out_caps[-1] = hdr.orig_len - (B - 1) * hdr.block_len
-    out_offsets = np.arange(B, dtype=np.uint64) * hdr.block_len
-    nat = _native()
-    if hdr.orig_len == 0:
-        open(dst_path, "wb").close()
-        return
-    if hdr.tree.is_leaf(hdr.tree.root):
-        with open(dst_path, "wb") as dst:
-            dst.write(bytes([int(hdr.tree.letters[hdr.tree.root])]) * hdr.orig_len)
-        return
-    if nat is not None:
-        tables = nat.build_dfa(hdr.tree)
-        out, out_lens = nat.decode_blocks(
-            payload, starts, ends, tables, out_offsets, out_caps, threads
-        )
-        if not np.array_equal(out_lens, out_caps):
-            raise StreamError(f"{src_path!r} block decode length mismatch",
-                              "InvalidHeaderInfo")
-        with open(dst_path, "wb") as dst:
-            out[: hdr.orig_len].tofile(dst)
-    else:
-        # fallback: serial whole-stream decode
-        pad = calc_padding_bits(hdr.total_bits)
-        data = unpack_codes_u8(
-            payload.tobytes()[: (hdr.total_bits + 7) // 8], pad, hdr.tree
-        )
-        with open(dst_path, "wb") as dst:
-            dst.write(data[: hdr.orig_len])
+    Blocks are processed in groups of ~``chunk_bytes`` output bytes: only
+    the group's payload byte range is read, decoded block-parallel
+    (threaded C++ DFA, or the lane-parallel device kernels with
+    ``device=True``), and written.  Peak RAM is O(chunk_bytes) plus the
+    block table (8 bytes per block).
+    """
+    chunk = chunk_bytes if chunk_bytes is not None else _CHUNK
+    with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
+        hdr = read_hf2_header(src)
+        if hdr.orig_len == 0:
+            return
+        if hdr.tree.is_leaf(hdr.tree.root):
+            letter = bytes([int(hdr.tree.letters[hdr.tree.root])])
+            left = hdr.orig_len
+            while left > 0:
+                n = min(left, _CHUNK)
+                dst.write(letter * n)
+                left -= n
+            return
+        ends = hdr.end_bits.astype(np.uint64)
+        starts = np.concatenate([[np.uint64(0)], ends[:-1]])
+        B = hdr.num_blocks
+        nat = None if device else _native()
+        if not device and nat is None:
+            # no native runtime: blocks are contiguous, so the payload is
+            # one resumable serial stream (python DFA, chunked)
+            from ..core.codec import PyDfaDecoder
+
+            pad = calc_padding_bits(hdr.total_bits)
+            nbytes = (hdr.total_bits + 7) // 8
+            dec = PyDfaDecoder(hdr.tree)
+            emitted = 0
+            left = nbytes - (1 if pad else 0)
+            while left > 0:
+                piece = src.read(min(left, _CHUNK))
+                if not piece:
+                    break
+                out = dec.feed(piece)
+                dst.write(out[: hdr.orig_len - emitted])
+                emitted += len(out)
+                left -= len(piece)
+            if pad and emitted < hdr.orig_len:
+                last = src.read(1)
+                if last:
+                    out = dec.finish(last[0], pad)
+                    dst.write(out[: hdr.orig_len - emitted])
+            return
+        tables = nat.build_dfa(hdr.tree) if nat is not None else None
+        gsize = max(1, chunk // max(hdr.block_len, 1))
+        for g0 in range(0, B, gsize):
+            g1 = min(g0 + gsize, B)
+            bit_lo = int(starts[g0])
+            bit_hi = int(ends[g1 - 1])
+            byte_lo = bit_lo // 8
+            byte_hi = (bit_hi + 7) // 8
+            src.seek(hdr.payload_offset + byte_lo)
+            buf = np.frombuffer(src.read(byte_hi - byte_lo), dtype=np.uint8)
+            if buf.size < byte_hi - byte_lo:
+                raise StreamError(f"{src_path!r} truncated payload",
+                                  "MissingHeaderInfo")
+            ls = starts[g0:g1] - np.uint64(byte_lo * 8)
+            le = ends[g0:g1] - np.uint64(byte_lo * 8)
+            nb = g1 - g0
+            caps = np.full(nb, hdr.block_len, dtype=np.uint64)
+            if g1 == B:
+                caps[-1] = hdr.orig_len - (B - 1) * hdr.block_len
+            if device:
+                from ..kernels.decode import (
+                    decode_rows_device, payload_to_lane_words,
+                )
+
+                rows, bit0 = payload_to_lane_words(buf, ls.astype(np.int64),
+                                                   le.astype(np.int64),
+                                                   hdr.block_len)
+                out = decode_rows_device(rows, bit0,
+                                         (le - ls).astype(np.int32),
+                                         hdr.tree, hdr.block_len)
+                if caps[-1] != hdr.block_len:
+                    dst.write(out[:-1].tobytes())
+                    dst.write(out[-1, : int(caps[-1])].tobytes())
+                else:
+                    dst.write(out.tobytes())
+            else:
+                offs = np.arange(nb, dtype=np.uint64) * hdr.block_len
+                out, out_lens = nat.decode_blocks(
+                    buf, ls, le, tables, offs, caps, threads
+                )
+                if not np.array_equal(out_lens, caps):
+                    raise StreamError(
+                        f"{src_path!r} block decode length mismatch",
+                        "InvalidHeaderInfo",
+                    )
+                dst.write(out[: int(caps.sum())].tobytes())

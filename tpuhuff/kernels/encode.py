@@ -351,16 +351,28 @@ def _auto_transposed(transposed):
     return bool(transposed)
 
 
+# VMEM ceiling for the fused Pallas encode route.  Per grid cell the kernel
+# holds the (N/2, 128) int32 input block, the equal-size output words, and
+# 2-3 live merge temporaries — ~4 * (N/2 * 128 * 4) bytes.  N = 2048 keeps
+# that ~2 MB, comfortably inside the ~16 MB/core budget; larger N must take
+# the XLA merge (HW parity was only ever validated at N <= 1024).
+PALLAS_MAX_BLOCK = 2048
+
+
 def _auto_pallas(pallas):
     """Fused Pallas VMEM kernel: on by default on TPU (session 13: 7.7-9.9
     GB/s e2e vs 5.7 for the XLA merge; requires canonical tables and
     ``max_code_len <= 16`` so symbol pairs merge inside one u32).
-    ``TPUHUFF_BACKEND=xla`` force-disables it."""
+    ``TPUHUFF_BACKEND=xla`` force-disables it; ``TPUHUFF_BACKEND=pallas``
+    force-enables it (interpret-mode off-TPU)."""
     if pallas is None:
         import os
 
-        if os.environ.get("TPUHUFF_BACKEND", "").lower() == "xla":
+        backend = os.environ.get("TPUHUFF_BACKEND", "").lower()
+        if backend == "xla":
             return False
+        if backend == "pallas":
+            return True
         try:
             return jax.default_backend() == "tpu"
         except Exception:
@@ -422,11 +434,18 @@ def encode_blocks(
         and canon_tables is not None
         and mb is not None
         and 2 * mb <= 32
-        and N >= 2
+        and 2 <= N <= PALLAS_MAX_BLOCK
     ):
         from .pallas_encode2 import encode_blocks_pallas2
 
-        return encode_blocks_pallas2(data, canon_tables, mb, valid_lens)
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        # off-TPU an explicit pallas request runs the interpreter (Mosaic
+        # only lowers for real TPUs); bit-identical, correctness-only speed
+        return encode_blocks_pallas2(data, canon_tables, mb, valid_lens,
+                                     interpret=not on_tpu)
 
     def lookup(d2):
         if canon_tables is not None:
@@ -461,6 +480,42 @@ def encode_blocks(
         if mb is not None:
             mb = min(2 * mb, 32 * vals.shape[-1])
     return vals[..., 0, :], cur[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("gather_free",))
+def _count_missing_dev(data, lens_lut, valid_lens, gather_free):
+    idx = data.astype(jnp.int32)
+    lens = lut_lens(idx, lens_lut) if gather_free else jnp.take(
+        lens_lut, idx, axis=0
+    )
+    miss = (lens == 0).astype(jnp.int32)
+    if valid_lens is not None:
+        N = data.shape[-1]
+        miss = jnp.where(
+            jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None],
+            miss, 0,
+        )
+    return jnp.sum(miss)
+
+
+def count_missing(
+    data: jnp.ndarray, lens_lut: jnp.ndarray,
+    valid_lens: jnp.ndarray | None = None,
+    gather_free: bool | None = None,
+) -> int:
+    """Number of (valid) input bytes with no code in the LUT.
+
+    The device-side guard matching the reference's per-letter
+    ``CompressError`` (`comp.rs:427-432`): the encode kernels emit 0 bits
+    for an out-of-alphabet byte (possible only with a stale or foreign
+    tree), which would corrupt the stream silently — callers check this
+    count on host and raise :class:`CompressError` instead.  One cheap
+    LUT+compare+sum pass (~the cost of :func:`block_bit_lengths`).
+    """
+    if data.ndim == 1:
+        data = data[None, :]
+    return int(_count_missing_dev(data, lens_lut, valid_lens,
+                                  _auto_gather_free(gather_free)))
 
 
 def block_bit_lengths(
