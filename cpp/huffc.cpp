@@ -360,6 +360,40 @@ int64_t huffc_decode_blocks(
 }
 
 
+// Gather per-block u32 word rows from a packed payload: row k =
+// words[starts_w[k] .. starts_w[k]+row_words).  Feeds the TPU decode
+// kernels' (B, W) lane layout; threaded memcpy at memory-bandwidth speed
+// (the numpy fancy-index equivalent materializes a B*W int64 index array
+// larger than the data itself).  Out-of-range tail words read as zero.
+void huffc_extract_rows(const uint32_t* words, uint64_t n_words,
+                        const uint64_t* starts_w, int64_t n_rows,
+                        int64_t row_words, uint32_t* out, int num_threads) {
+  int t = num_threads > 1 ? num_threads : 1;
+  if (t == 1 || n_rows < 64) {
+    for (int64_t k = 0; k < n_rows; ++k) {
+      uint64_t s = starts_w[k];
+      uint64_t avail = s < n_words ? n_words - s : 0;
+      uint64_t take = avail < (uint64_t)row_words ? avail : (uint64_t)row_words;
+      std::memcpy(out + (uint64_t)k * row_words, words + s, take * 4);
+      if (take < (uint64_t)row_words)
+        std::memset(out + (uint64_t)k * row_words + take, 0,
+                    ((uint64_t)row_words - take) * 4);
+    }
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (n_rows + t - 1) / t;
+  for (int w = 0; w < t; ++w) {
+    int64_t lo = (int64_t)w * per, hi = std::min<int64_t>(lo + per, n_rows);
+    if (lo >= hi) continue;
+    threads.emplace_back([=] {
+      huffc_extract_rows(words, n_words, starts_w + lo, hi - lo, row_words,
+                         out + (uint64_t)lo * row_words, 1);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 // OR-copy a single bit range (exported for host-side stitching).
 void huffc_or_copy(const uint8_t* src, uint64_t src_bits, uint8_t* dst,
                    uint64_t dst_bit) {

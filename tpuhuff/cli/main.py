@@ -147,6 +147,10 @@ def main(argv=None) -> int:
         src_size = os.path.getsize(src)
         if not _ask_replace(dst, args.noask):
             return 0
+        if args.device:
+            from ..cache import enable_compile_cache
+
+            enable_compile_cache()
         from ..io import stream
         from ..profiling import StageTimer, device_trace
 

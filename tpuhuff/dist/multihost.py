@@ -81,58 +81,119 @@ def _per_host_block_quota(total_len: int, block_len: int) -> int:
 
 def compress_file_multihost(
     src_path: str, dst_path: str, block_len: int = 65536,
-    canonical: bool = True,
+    canonical: bool = True, chunk_bytes: int | None = None,
 ) -> None:
-    """Config-5 orchestration: per-host streaming read of its own byte
-    range, global-psum tree, device-parallel pack, host-0 ordered write of
-    the ``.hf2`` container.
+    """Config-5 orchestration, STREAMING: two passes in O(chunk) memory per
+    host (the multi-host twin of ``read_compress_write_hf2``).
+
+    * pass 1 — every host streams its contiguous byte range into a local
+      256-bin histogram; one all-gather of the tables merges them (the DCN
+      analogue of the reference's thread-join merge, `weights.rs:306-318`),
+      and every host builds the identical tree.
+    * pass 2 — the file's blocks are split into super-chunks of
+      ``chunk_bytes``; super-chunk s is encoded by host ``s % nproc`` on its
+      local devices (the tree is fixed, so pass 2 is embarrassingly
+      parallel).  Each round all-gathers one super-chunk per host, and the
+      coordinator appends them IN ORDER through the bit-carrying sink while
+      patching the block table in place — no host ever holds more than a
+      round of data.
 
     Every process calls this with the same paths (SPMD); only process 0
-    writes.  Degenerates to the single-host pipeline when run standalone.
+    writes.  Single-process: identical output, plain local loop.
     """
-    from ..io.hff import write_hf2
+    from ..core.canonical import build_tree_for_device, canonicalize
+    from ..core.weights import ByteWeights
+    from ..io.hff import hf2_table_width, write_hf2_prelude, write_hf2_table_slice
+    from ..io.stream import _BitSink, _device_block_encoder
 
+    nproc = jax.process_count()
     total = os.path.getsize(src_path)
-    lo, hi = host_shard_range(total, block_len)
+    n_blocks = max(1, -(-total // block_len)) if total else 1
+    chunk = chunk_bytes if chunk_bytes is not None else (64 << 20)
+    sc_blocks = max(1, chunk // block_len)          # blocks per super-chunk
+    n_sc = -(-n_blocks // sc_blocks)                # super-chunks in file
+
+    # ---- pass 1: per-host streamed histogram + global merge ----
+    counts = np.zeros(256, dtype=np.int64)
     with open(src_path, "rb") as fp:
+        lo, hi = host_shard_range(total, block_len)
         fp.seek(lo)
-        local = np.frombuffer(fp.read(hi - lo), dtype=np.uint8)
-    words, bits, tree, _ = compress_multihost(
-        local, block_len=block_len, total_len=total, canonical=canonical
-    )
-    if jax.process_count() > 1:
+        left = hi - lo
+        while left > 0:
+            piece = fp.read(min(left, chunk))
+            if not piece:
+                break
+            counts += np.asarray(ByteWeights.from_bytes(piece).counts,
+                                 dtype=np.int64)
+            left -= len(piece)
+    if nproc > 1:
         from jax.experimental import multihost_utils
 
-        quota = _per_host_block_quota(total, block_len)
-        words = words[:quota]
-        bits = bits[:quota]
-        # stacked by process index -> global file order (host_shard_range
-        # assigns contiguous ascending ranges)
-        words_all = multihost_utils.process_allgather(words)
-        bits_all = multihost_utils.process_allgather(bits)
-        # drop each host's quota padding: keep only its real block count
-        n_blocks = max(1, -(-total // block_len))
-        per = -(-n_blocks // jax.process_count())
-        keep_w, keep_b = [], []
-        for h in range(jax.process_count()):
-            real = min(per, max(0, n_blocks - h * per))
-            keep_w.append(words_all[h, :real])
-            keep_b.append(bits_all[h, :real])
-        words = np.concatenate(keep_w, axis=0)
-        bits = np.concatenate(keep_b, axis=0)
-    else:
-        n_blocks = max(1, -(-total // block_len))
-        words = words[:n_blocks]
-        bits = bits[:n_blocks]
-    if is_coordinator():
-        from . import stitch_words
+        counts = multihost_utils.process_allgather(counts).sum(axis=0)
+    tree, _limited = build_tree_for_device(ByteWeights(counts), max_len=32)
+    if canonical:
+        tree = canonicalize(tree)
+    lens_lut, _ = tree.encode_tables()
+    ml = int(np.asarray(lens_lut).max(initial=1))
+    width = hf2_table_width(block_len, ml)
+    enc = _device_block_encoder(tree, block_len)
 
-        payload, _pad = stitch_words(np.asarray(words), np.asarray(bits))
-        end_bits = np.cumsum(np.asarray(bits, dtype=np.uint64))
-        with open(dst_path, "wb") as out:
-            write_hf2(out, tree, total, block_len, end_bits, payload,
-                      canonical=canonical)
-    if jax.process_count() > 1:
+    # ---- pass 2: round-robin super-chunks, ordered coordinator write ----
+    dst = table_off = sink = None
+    if is_coordinator():
+        dst = open(dst_path, "wb")
+        table_off, _ = write_hf2_prelude(dst, tree, total, block_len,
+                                         n_blocks, width, canonical)
+        sink = _BitSink(dst)
+    pid = jax.process_index()
+    cap_bytes = sc_blocks * block_len * ml // 8 + 8  # payload bound/super-chunk
+    with open(src_path, "rb") as fp:
+        for r in range(-(-n_sc // nproc)):
+            s_mine = r * nproc + pid
+            my_payload = b""
+            my_lens = np.zeros(sc_blocks, dtype=np.uint64)
+            my_nb = 0
+            if s_mine < n_sc:
+                b0 = s_mine * sc_blocks
+                b1 = min(b0 + sc_blocks, n_blocks)
+                fp.seek(b0 * block_len)
+                data = np.frombuffer(
+                    fp.read(min(b1 * block_len, total) - b0 * block_len),
+                    dtype=np.uint8,
+                )
+                my_nb = b1 - b0
+                if data.size:
+                    my_payload, _nbits, bl = enc(data, my_nb)
+                    my_lens[: my_nb] = bl
+            if nproc > 1:
+                from jax.experimental import multihost_utils
+
+                pad = np.zeros(cap_bytes, dtype=np.uint8)
+                pad[: len(my_payload)] = np.frombuffer(my_payload, np.uint8)
+                meta = np.zeros(2, dtype=np.int64)
+                meta[0], meta[1] = len(my_payload), my_nb
+                metas = multihost_utils.process_allgather(meta)
+                pays = multihost_utils.process_allgather(pad)
+                lens_all = multihost_utils.process_allgather(my_lens)
+            else:
+                metas = np.asarray([[len(my_payload), my_nb]])
+                pays = np.frombuffer(my_payload, np.uint8)[None, :]
+                lens_all = my_lens[None, :]
+            if is_coordinator():
+                for h in range(nproc):
+                    s = r * nproc + h
+                    if s >= n_sc:
+                        break
+                    nb_h = int(metas[h, 1])
+                    bl = lens_all[h, :nb_h]
+                    write_hf2_table_slice(dst, table_off, width,
+                                          s * sc_blocks, bl)
+                    sink.write(pays[h, : int(metas[h, 0])].tobytes(),
+                               int(bl.sum()))
+    if is_coordinator():
+        sink.flush()
+        dst.close()
+    if nproc > 1:
         # SPMD contract: the container exists for every process on return
         # (e.g. a multihost decode of the same file may start immediately)
         from jax.experimental import multihost_utils

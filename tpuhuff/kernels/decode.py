@@ -110,10 +110,22 @@ def payload_to_lane_words(
     start_w = (start_bits // 32).astype(np.int64)
     end_w = ((end_bits + 31) // 32).astype(np.int64)
     Wmax = int(np.max(end_w - start_w + 1, initial=1)) + 1
-    idx = np.minimum(start_w[:, None] + np.arange(Wmax)[None, :], words.size - 1)
-    rows = words[idx]
-    # zero the slack tail beyond each lane's own payload words is not
-    # needed: the active mask stops the cursor at nbits exactly.
+    try:
+        from .. import native
+
+        nat = native if native.available() else None
+    except Exception:
+        nat = None
+    if nat is not None:
+        # threaded memcpy gather — the numpy fancy index below materializes
+        # a (B, Wmax) int64 index array larger than the payload itself
+        rows = nat.extract_rows(words, start_w.astype(np.uint64), Wmax)
+    else:
+        idx = np.minimum(start_w[:, None] + np.arange(Wmax)[None, :],
+                         words.size - 1)
+        rows = words[idx]
+    # the slack tail beyond each lane's own payload words needs no zeroing:
+    # the active mask stops the cursor at nbits exactly.
     bit0 = (start_bits - start_w * 32).astype(np.int32)
     return rows, bit0
 
@@ -398,10 +410,12 @@ def decode_rows_device(
 ) -> np.ndarray:
     """Decode per-lane word rows with the best available device path:
 
-    1. Pallas VMEM canonical ladder kernel — TPU, canonical codes,
-       block fits VMEM (sessions 9-10: 13.7 GB/s @ BL=128 vs 8.3 XLA).
+    1. Pallas VMEM fused kernels — TPU, block fits VMEM: canonical ladder
+       when the tree's codes are canonical (sessions 9-10: 13.7 GB/s @
+       BL=128 vs 8.3 XLA), else the general interval-search kernel (any
+       prefix tree, e.g. a reference-built ``.hff``).
     2. XLA canonical ladder scan.
-    3. XLA general interval scan (any prefix tree, e.g. foreign ``.hff``).
+    3. XLA general interval scan.
 
     Override with ``TPUHUFF_DECODER=xla|pallas``.  Returns (B, block_len)
     uint8 (numpy).
@@ -421,14 +435,37 @@ def decode_rows_device(
     want_pallas = (pref == "pallas") or (pref != "xla" and on_tpu)
     # VMEM bound: word buffer + output block per grid cell
     fits = np.shape(rows)[1] <= 1024 and block_len <= 1024
-    if canon is not None and want_pallas and fits and block_len % unroll == 0:
-        from .pallas_decode import decode_blocks_pallas_canonical
+    if want_pallas and fits and block_len % unroll == 0:
+        interp = not on_tpu  # Mosaic only lowers for real TPUs
+        if canon is not None:
+            from .pallas_decode import decode_blocks_pallas_canonical
 
-        ub, dd, perm4, ml = canon
-        return decode_blocks_pallas_canonical(
-            np.asarray(rows), np.asarray(bit0), np.asarray(nbits),
-            ub, dd, perm4, ml, block_len, unroll=unroll,
+            ub, dd, perm4, ml = canon
+            return decode_blocks_pallas_canonical(
+                np.asarray(rows), np.asarray(bit0), np.asarray(nbits),
+                ub, dd, perm4, ml, block_len, unroll=unroll, interpret=interp,
+            )
+        from .pallas_decode import (
+            LANES, SUB, decode_rows_fused_general, make_general_fused_tables,
         )
+
+        thr, sym4, len4 = make_decode_tables(tree)
+        eytz, s4, l4 = make_general_fused_tables(thr, sym4, len4)
+        B, W = np.shape(rows)
+        group = SUB * LANES
+        Bp = -(-B // group) * group
+        wpad = max(W, unroll + 1)
+        rows_p = np.zeros((Bp, wpad), np.uint32)
+        rows_p[:B, :W] = np.asarray(rows, dtype=np.uint32)
+        bit0_p = np.zeros(Bp, np.int32)
+        bit0_p[:B] = np.asarray(bit0, dtype=np.int32)
+        nbits_p = np.zeros(Bp, np.int32)
+        nbits_p[:B] = np.asarray(nbits, dtype=np.int32)
+        out = decode_rows_fused_general(
+            jnp.asarray(rows_p), jnp.asarray(bit0_p), jnp.asarray(nbits_p),
+            eytz, s4, l4, block_len, unroll, interp,
+        )
+        return np.asarray(out[:B])
     if canon is not None:
         ub, dd, perm4, ml = canon
         out = decode_blocks_canonical(

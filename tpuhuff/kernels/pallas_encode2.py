@@ -37,6 +37,12 @@ __all__ = ["encode_blocks_pallas2"]
 
 LANES = 128
 
+# stacked-ladder LUT (one pass over both byte planes) — bit-identical;
+# TPUHUFF_STACK_LADDER=0 falls back to two per-plane passes
+import os as _os
+
+_STACK_LADDER = _os.environ.get("TPUHUFF_STACK_LADDER", "1") != "0"
+
 
 def _sel_scalar(bits, tab_ref, lo: int, size: int):
     if size == 1:
@@ -99,10 +105,21 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
 
     if halved:
         # ---- fused LUT on both bytes + pair merge inside one u32 ----
-        x0, l0 = _ladder(d & 0xFF, 2 * row, valid, inv4_ref, pres_ref,
-                         cumle_ref, dd_ref, ML)
-        x1, l1 = _ladder((d >> 8) & 0xFF, 2 * row + 1, valid, inv4_ref,
-                         pres_ref, cumle_ref, dd_ref, ML)
+        if _STACK_LADDER:
+            # both byte planes through ONE stacked ladder pass: same element
+            # math, half the instruction count on the dominant select-tree
+            # LUT (Mosaic is instruction-overhead-bound here)
+            d2 = jnp.concatenate([d & 0xFF, (d >> 8) & 0xFF], axis=0)
+            row2 = jnp.concatenate([2 * row, 2 * row + 1], axis=0)
+            xs, ls = _ladder(d2, row2, valid, inv4_ref, pres_ref,
+                             cumle_ref, dd_ref, ML)
+            x0, x1 = xs[:rows], xs[rows:]
+            l0, l1 = ls[:rows], ls[rows:]
+        else:
+            x0, l0 = _ladder(d & 0xFF, 2 * row, valid, inv4_ref, pres_ref,
+                             cumle_ref, dd_ref, ML)
+            x1, l1 = _ladder((d >> 8) & 0xFF, 2 * row + 1, valid, inv4_ref,
+                             pres_ref, cumle_ref, dd_ref, ML)
         x = x0 | (x1 >> l0.astype(jnp.uint32))  # l0 <= ML <= 16 < 32
         alen = l0 + l1
         W, gsyms = 1, 2

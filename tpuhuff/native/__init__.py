@@ -31,6 +31,7 @@ __all__ = [
     "decode",
     "decode_resume",
     "decode_blocks",
+    "extract_rows",
     "stitch_blocks",
     "DfaTables",
     "num_threads",
@@ -45,6 +46,7 @@ _lib_lock = threading.Lock()
 _build_failed = False
 
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
 _i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -124,6 +126,11 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.huffc_decode_blocks.restype = ctypes.c_int64
     lib.huffc_or_copy.argtypes = [_u8p, ctypes.c_uint64, _u8p, ctypes.c_uint64]
     lib.huffc_or_copy.restype = None
+    lib.huffc_extract_rows.argtypes = [
+        _u32p, ctypes.c_uint64, _u64p, ctypes.c_int64, ctypes.c_int64,
+        _u32p, ctypes.c_int,
+    ]
+    lib.huffc_extract_rows.restype = None
     lib.huffc_stitch_blocks.argtypes = [
         _u8p, ctypes.c_uint64, _u64p, ctypes.c_int64,
         _u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
@@ -288,6 +295,23 @@ def decode_blocks(
 
 def build_dfa(tree) -> DfaTables:
     return DfaTables(tree)
+
+
+def extract_rows(
+    words: np.ndarray, starts_w: np.ndarray, row_words: int,
+    threads: int | None = None,
+) -> np.ndarray:
+    """Threaded per-block row gather: out[k] = words[starts_w[k]:+row_words]
+    (zero-filled past the end).  Feeds the device decoders' (B, W) layout."""
+    lib = _load()
+    assert lib is not None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    starts_w = np.ascontiguousarray(starts_w, dtype=np.uint64)
+    out = np.empty((starts_w.size, row_words), dtype=np.uint32)
+    lib.huffc_extract_rows(words, words.size, starts_w, starts_w.size,
+                           row_words, out.reshape(-1),
+                           threads or num_threads())
+    return out
 
 
 def stitch_blocks(
