@@ -59,6 +59,10 @@ def slope(make, arg, n_bytes):
 
 
 def main():
+    from tpuhuff.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -28,6 +28,10 @@ def log(*a):
 
 
 def main():
+    from tpuhuff.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

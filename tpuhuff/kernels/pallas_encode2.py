@@ -37,11 +37,13 @@ __all__ = ["encode_blocks_pallas2"]
 
 LANES = 128
 
-# stacked-ladder LUT (one pass over both byte planes) — bit-identical;
-# TPUHUFF_STACK_LADDER=0 falls back to two per-plane passes
+# stacked-ladder LUT (one pass over both byte planes) — bit-identical but
+# measured SLOWER on v5e (2.00 ms vs 1.60 ms per 16 MiB: the (2*rows, 128)
+# concats cost more than the saved instructions), so default OFF;
+# TPUHUFF_STACK_LADDER=1 re-enables for experiments
 import os as _os
 
-_STACK_LADDER = _os.environ.get("TPUHUFF_STACK_LADDER", "1") != "0"
+_STACK_LADDER = _os.environ.get("TPUHUFF_STACK_LADDER", "0") == "1"
 
 
 def _sel_scalar(bits, tab_ref, lo: int, size: int):
