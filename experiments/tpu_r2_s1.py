@@ -86,6 +86,7 @@ def main():
     dl, da = make_encode_tables(lens_lut, codes_lut)
     canon = make_canonical_encode_tables(tree)
     canon_tabs = canon[:4]
+    FULL = bool(canon[5])
     ML = int(lens_lut.max())
     log(f"ML={ML} B={B} N={BLOCK_LEN}")
 
@@ -99,7 +100,8 @@ def main():
             r = jnp.roll(b, i, axis=0)
             h = histogram(r)
             w, bits = encode_blocks(r, dl, da, max_code_len=ML,
-                                    canon_tables=canon_tabs)
+                                    canon_tables=canon_tabs,
+                                    full_alphabet=FULL)
             return (jnp.sum(bits) + h[0]).astype(jnp.int32) & 0xFFFF
     elif VARIANT == "hist":
         def one(b, i):
@@ -113,7 +115,8 @@ def main():
         def one(b, i):
             r = jnp.roll(b, i, axis=0)
             w, bits = encode_blocks(r, dl, da, max_code_len=ML,
-                                    canon_tables=canon_tabs)
+                                    canon_tables=canon_tabs,
+                                    full_alphabet=FULL)
             return jnp.sum(bits).astype(jnp.int32) & 0xFFFF
     elif VARIANT in ("xla256", "xla512"):
         if VARIANT == "xla512":
@@ -126,6 +129,32 @@ def main():
             w, bits = encode_blocks(r, dl, da, max_code_len=ML,
                                     canon_tables=canon_tabs, pallas=False)
             return jnp.sum(bits).astype(jnp.int32) & 0xFFFF
+    elif VARIANT == "enc3":
+        from tpuhuff.kernels.pallas_encode2 import encode_blocks_pallas3
+
+        def one(b, i):
+            r = jnp.roll(b, i, axis=0)
+            w, bits = encode_blocks_pallas3(r, canon_tabs, ML)
+            return jnp.sum(bits).astype(jnp.int32) & 0xFFFF
+    elif VARIANT == "lut3":
+        from tpuhuff.kernels.encode import lut_canonical
+
+        def one(b, i):
+            r = jnp.roll(b, i, axis=0)
+            ln, acode = lut_canonical(r.astype(jnp.int32), *canon_tabs, ML)
+            l0, l1 = ln[:, 0::2], ln[:, 1::2]
+            x = acode[:, 0::2] | (acode[:, 1::2] >> l0.astype(jnp.uint32))
+            xt = x.T
+            lt = (l0 + l1).T
+            return (jnp.sum(lt) + xt[0, 0].astype(jnp.int32)) & 0xFFFF
+    elif VARIANT == "full3":
+        from tpuhuff.kernels.pallas_encode2 import encode_blocks_pallas3
+
+        def one(b, i):
+            r = jnp.roll(b, i, axis=0)
+            h = histogram(r)
+            w, bits = encode_blocks_pallas3(r, canon_tabs, ML)
+            return (jnp.sum(bits) + h[0]).astype(jnp.int32) & 0xFFFF
     elif VARIANT == "pack":
         from tpuhuff.kernels.pallas_encode2 import pack_pairs
 
@@ -150,7 +179,7 @@ def main():
         def one(b, i):
             r = jnp.roll(b, i, axis=1)
             w, bits = _encode_call(r, valid_t, inv4, pres, jc, jd,
-                                   BLOCK_LEN, ML, True, False)
+                                   BLOCK_LEN, ML, True, False, FULL)
             return (jnp.sum(bits) + w[0, 0]).astype(jnp.int32) & 0xFFFF
 
         jblocks = data_t

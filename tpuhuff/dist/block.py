@@ -109,7 +109,7 @@ def sharded_count_missing(
 def sharded_encode(
     blocks: jnp.ndarray, valid_lens: jnp.ndarray, lens_lut, acodes_lut,
     mesh: Mesh, max_code_len: int | None = None, canon_tables=None,
-    check_missing: bool = True,
+    check_missing: bool = True, full_alphabet: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack (B, N) blocks data-parallel; returns (words (B, W), bits (B,)).
 
@@ -128,7 +128,7 @@ def sharded_encode(
             )
 
     def shard(local, valid, ll, al, *canon):
-        kw = {}
+        kw = {"full_alphabet": full_alphabet}
         if max_code_len is not None:
             kw["max_code_len"] = max_code_len
         if canon:
@@ -190,6 +190,7 @@ def encode_pipeline_arrays(
     # still a valid .hff tree, marginally larger output (PARITY.md)
     tree, _limited = build_tree_for_device(ByteWeights(counts), max_len=max_code_len)
     canon_tabs = None
+    full_alpha = False
     if canonical:
         from ..kernels.encode import make_canonical_encode_tables
 
@@ -197,6 +198,7 @@ def encode_pipeline_arrays(
         tabs = make_canonical_encode_tables(tree)
         if tabs is not None:
             canon_tabs = tabs[:4]  # arrays; max_len rides max_code_len below
+            full_alpha = tabs[5]
     lens, codes = tree.encode_tables()
     # coverage guard (reference `comp.rs:427-432`): every byte seen by the
     # histogram must have a code, or the kernels would silently emit 0 bits
@@ -210,5 +212,6 @@ def encode_pipeline_arrays(
     words, bits = sharded_encode(jblocks, jvalid, dl, da, mesh,
                                  max_code_len=int(lens.max()),
                                  canon_tables=canon_tabs,
-                                 check_missing=False)
+                                 check_missing=False,
+                                 full_alphabet=full_alpha)
     return words, bits, tree

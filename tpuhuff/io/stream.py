@@ -209,6 +209,7 @@ def _device_encoder(tree: HuffTree, block_len: int | None = None):
     ml = int(lens_t.max())
     tabs = make_canonical_encode_tables(tree)
     canon_tabs = tabs[:4] if tabs is not None else None
+    full_alpha = bool(tabs[5]) if tabs is not None else False
     if block_len is None:
         pallas_route = (
             _auto_pallas(None) and canon_tabs is not None and 2 * ml <= 32
@@ -224,7 +225,8 @@ def _device_encoder(tree: HuffTree, block_len: int | None = None):
         if count_missing(jblocks, dl, jvalid):
             raise CompressError("letter not found in codes", None)
         words, bits = encode_blocks(jblocks, dl, da, jvalid,
-                                    max_code_len=ml, canon_tables=canon_tabs)
+                                    max_code_len=ml, canon_tables=canon_tabs,
+                                    full_alphabet=full_alpha)
         payload, pad = stitch_words(np.asarray(words), np.asarray(bits))
         return payload, len(payload) * 8 - pad
 
@@ -407,6 +409,7 @@ def _device_block_encoder(tree: HuffTree, block_len: int):
     ml = int(lens_t.max())
     tabs = make_canonical_encode_tables(tree)
     canon_tabs = tabs[:4] if tabs is not None else None
+    full_alpha = bool(tabs[5]) if tabs is not None else False
     # largest power-of-two divisor of block_len, capped at the kernel optimum
     lane = block_len & -block_len
     lane = min(lane, DEVICE_HF2_BLOCK if canon_tabs is not None else 512,
@@ -427,7 +430,8 @@ def _device_block_encoder(tree: HuffTree, block_len: int):
         if count_missing(jl, dl, jv):
             raise CompressError("letter not found in codes", None)
         words, bits = encode_blocks(jl, dl, da, jv, max_code_len=ml,
-                                    canon_tables=canon_tabs)
+                                    canon_tables=canon_tabs,
+                                    full_alphabet=full_alpha)
         bits_np = np.asarray(bits).astype(np.uint64)
         payload, pad = stitch_words(np.asarray(words), bits_np)
         bit_lens = bits_np.reshape(nb, L).sum(axis=1)

@@ -134,8 +134,10 @@ def make_canonical_encode_tables(tree):
     decode ladder, :func:`tpuhuff.kernels.decode.make_canonical_decode_tables`).
 
     Returns ``(invperm4 u32[64], present u32[8], cumle i32[32], dd i32[32],
-    max_len)``; bytes outside the alphabet get length 0 (no bits), matching
-    the sentinel semantics of the dense-LUT path.
+    max_len, full_alphabet)``; bytes outside the alphabet get length 0 (no
+    bits), matching the sentinel semantics of the dense-LUT path.
+    ``full_alphabet`` (static bool) lets the kernels skip the membership
+    select tree entirely when every byte has a code.
     """
     from ..core.canonical import canonical_codes_from_lengths
 
@@ -186,11 +188,13 @@ def make_canonical_encode_tables(tree):
         jnp.asarray(cumle),
         jnp.asarray(dd),
         ml,
+        bool(present.all()),
     )
 
 
 def lut_canonical(
-    data_i32: jnp.ndarray, invperm4, present, cumle, dd, max_len: int
+    data_i32: jnp.ndarray, invperm4, present, cumle, dd, max_len: int,
+    full_alphabet: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(lens, left-aligned acodes) for canonical codes, ladder-style."""
     # rank via packed 4-per-word inverse permutation
@@ -205,11 +209,12 @@ def lut_canonical(
         ind = (rank >= cumle[L - 1]).astype(jnp.int32)
         ln = ln + ind
         dlt = dlt + ind * dd[L]
-    # alphabet membership: bytes without a code emit nothing (len 0)
-    wbits = [((data_i32 >> (k + 5)) & 1) == 1 for k in range(3)]
-    pword = _select_tree(wbits, present, 0, 8)
-    member = ((pword >> (data_i32.astype(jnp.uint32) & 31)) & 1) == 1
-    ln = jnp.where(member, ln, 0)
+    if not full_alphabet:
+        # alphabet membership: bytes without a code emit nothing (len 0)
+        wbits = [((data_i32 >> (k + 5)) & 1) == 1 for k in range(3)]
+        pword = _select_tree(wbits, present, 0, 8)
+        member = ((pword >> (data_i32.astype(jnp.uint32) & 31)) & 1) == 1
+        ln = jnp.where(member, ln, 0)
     val = (rank + dlt).astype(jnp.uint32)
     acode = jnp.where(
         ln == 0, jnp.uint32(0),
@@ -384,6 +389,7 @@ def _auto_pallas(pallas):
     jax.jit,
     static_argnames=(
         "block_len", "gather_free", "max_code_len", "transposed", "pallas",
+        "full_alphabet",
     ),
 )
 def encode_blocks(
@@ -395,6 +401,7 @@ def encode_blocks(
     transposed: bool | None = None,
     canon_tables=None,
     pallas: bool | None = None,
+    full_alphabet: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack blocks of bytes into Huffman bitstreams.
 
@@ -445,14 +452,15 @@ def encode_blocks(
         # off-TPU an explicit pallas request runs the interpreter (Mosaic
         # only lowers for real TPUs); bit-identical, correctness-only speed
         return encode_blocks_pallas2(data, canon_tables, mb, valid_lens,
-                                     interpret=not on_tpu)
+                                     interpret=not on_tpu,
+                                     full_alphabet=full_alphabet)
 
     def lookup(d2):
         if canon_tables is not None:
             assert mb is not None, "canon_tables requires max_code_len"
             inv4, present, cumle, dd = canon_tables
             return lut_canonical(d2.astype(jnp.int32), inv4, present,
-                                 cumle, dd, mb)
+                                 cumle, dd, mb, full_alphabet)
         return _lut_lookup(d2, lens_lut, acodes_lut, gf)
 
     if _auto_transposed(transposed):

@@ -68,7 +68,7 @@ def _roll_up_masked(x, s, group_rows):
 
 
 def _ladder(d, sym_idx, valid, inv4_ref, pres_ref, cumle_ref, dd_ref,
-            ML: int):
+            ML: int, full: bool = False):
     """Canonical ladder LUT on a byte array ``d`` (int32, 0..255).
 
     Returns ``(x, ln)`` — the left-aligned code word and its bit length
@@ -85,10 +85,13 @@ def _ladder(d, sym_idx, valid, inv4_ref, pres_ref, cumle_ref, dd_ref,
         ind = (rank >= cumle_ref[0, L - 1]).astype(jnp.int32)
         ln = ln + ind
         dlt = dlt + ind * dd_ref[0, L]
-    wbits = [((d >> (k + 5)) & 1) == 1 for k in range(3)]
-    pword = _sel_scalar(wbits, pres_ref, 0, 8)
-    member = ((pword >> (d.astype(jnp.uint32) & 31)) & 1) == 1
-    ln = jnp.where(member & (sym_idx < valid), ln, 0)
+    if full:
+        ln = jnp.where(sym_idx < valid, ln, 0)
+    else:
+        wbits = [((d >> (k + 5)) & 1) == 1 for k in range(3)]
+        pword = _sel_scalar(wbits, pres_ref, 0, 8)
+        member = ((pword >> (d.astype(jnp.uint32) & 31)) & 1) == 1
+        ln = jnp.where(member & (sym_idx < valid), ln, 0)
     x = jnp.where(
         ln == 0, jnp.uint32(0),
         (rank + dlt).astype(jnp.uint32)
@@ -99,7 +102,7 @@ def _ladder(d, sym_idx, valid, inv4_ref, pres_ref, cumle_ref, dd_ref,
 
 def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
                    dd_ref, words_ref, bits_ref, *, N: int, ML: int,
-                   halved: bool):
+                   halved: bool, full: bool):
     d = data_ref[:]  # (rows, 128) int32: one byte, or a packed pair
     rows = d.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
@@ -114,20 +117,20 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
             d2 = jnp.concatenate([d & 0xFF, (d >> 8) & 0xFF], axis=0)
             row2 = jnp.concatenate([2 * row, 2 * row + 1], axis=0)
             xs, ls = _ladder(d2, row2, valid, inv4_ref, pres_ref,
-                             cumle_ref, dd_ref, ML)
+                             cumle_ref, dd_ref, ML, full)
             x0, x1 = xs[:rows], xs[rows:]
             l0, l1 = ls[:rows], ls[rows:]
         else:
             x0, l0 = _ladder(d & 0xFF, 2 * row, valid, inv4_ref, pres_ref,
-                             cumle_ref, dd_ref, ML)
+                             cumle_ref, dd_ref, ML, full)
             x1, l1 = _ladder((d >> 8) & 0xFF, 2 * row + 1, valid, inv4_ref,
-                             pres_ref, cumle_ref, dd_ref, ML)
+                             pres_ref, cumle_ref, dd_ref, ML, full)
         x = x0 | (x1 >> l0.astype(jnp.uint32))  # l0 <= ML <= 16 < 32
         alen = l0 + l1
         W, gsyms = 1, 2
     else:
         x, alen = _ladder(d, row, valid, inv4_ref, pres_ref, cumle_ref,
-                          dd_ref, ML)
+                          dd_ref, ML, full)
         W, gsyms = 1, 1
 
     # ---- doubling levels with width-bounded shift trees ----
@@ -166,6 +169,127 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
     bits_ref[:] = alen[0:1]
 
 
+def _merge_kernel(x_ref, len_ref, words_ref, bits_ref, *, N: int, ML: int):
+    """v3 kernel: VMEM doubling merge ONLY.
+
+    The symbol LUT + in-u32 pair merge run in XLA (whose fused elementwise
+    select trees measured ~3x faster than the same ladder in Mosaic —
+    instruction-overhead-bound there); the kernel receives pair-merged
+    left-aligned bit-strings ``x`` (rows, 128) u32 with lengths ``len`` and
+    does the log2(N)-1 width-bounded merge levels that XLA cannot keep in
+    VMEM (its merge is HBM-pass-bound, sessions 5-9).
+    """
+    x = x_ref[:].astype(jnp.uint32)
+    alen = len_ref[:]
+    rows = x.shape[0]
+    W, gsyms = 1, 2
+    while gsyms < N:
+        rowv = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+        is_b = ((rowv >> (W.bit_length() - 1)) & 1) == 1
+        a_len = jnp.where(is_b, _roll_down(alen, W), alen)
+        b_len = jnp.where(is_b, alen, _roll_up(alen, W))
+        u = 32 * W - a_len  # bits to move the B half up by
+        frame = jnp.where(is_b, x, jnp.uint32(0))
+        bA = min(ML * gsyms, 32 * W)  # static bound on a_len
+        qmin = (32 * W - bA) >> 5
+        if qmin:
+            frame = _roll_up_masked(frame, qmin, 2 * W)
+        qrem = (u >> 5) - qmin  # in [0, W - qmin]
+        qrange = W - qmin
+        bit = 0
+        s = 1
+        while s <= qrange:
+            rolled = _roll_up_masked(frame, s, 2 * W)
+            frame = jnp.where(((qrem >> bit) & 1) == 1, rolled, frame)
+            s *= 2
+            bit += 1
+        rb = (u & 31).astype(jnp.uint32)
+        nxt = _roll_up_masked(frame, 1, 2 * W)
+        frame = jnp.where(
+            rb == 0, frame,
+            (frame << rb) | (nxt >> ((jnp.uint32(32) - rb) & 31)),
+        )
+        x = jnp.where(is_b, jnp.uint32(0), x) | frame
+        alen = a_len + b_len
+        W *= 2
+        gsyms *= 2
+    words_ref[:] = x
+    bits_ref[:] = alen[0:1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_syms", "max_len", "interpret")
+)
+def _merge_call(x_t, len_t, n_syms, max_len, interpret):
+    rows, B = x_t.shape
+    kernel = functools.partial(_merge_kernel, N=n_syms, ML=max_len)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // LANES,),
+        in_specs=[
+            pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, B), jnp.uint32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x_t, len_t)
+
+
+def encode_blocks_pallas3(
+    data: jnp.ndarray,
+    canon_tables,
+    max_len: int,
+    valid_lens: jnp.ndarray | None = None,
+    interpret: bool = False,
+    full_alphabet: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hybrid v3 encoder: XLA canonical-ladder LUT + elementwise pair merge
+    feed the merge-only VMEM kernel.  Bit-identical to v2/XLA; measured
+    faster on v5e (the ladder runs ~3x faster as fused XLA elementwise ops
+    than inside Mosaic, and the merge stays VMEM-resident).
+    """
+    from .encode import lut_canonical
+
+    if data.ndim == 1:
+        data = data[None, :]
+    B, N = data.shape
+    assert N & (N - 1) == 0 and N >= 2
+    Bp = -(-B // LANES) * LANES
+    if Bp != B:
+        data = jnp.pad(data, ((0, Bp - B), (0, 0)))
+        if valid_lens is not None:
+            valid_lens = jnp.pad(valid_lens, (0, Bp - B))
+        else:
+            valid_lens = jnp.concatenate(
+                [jnp.full(B, N, jnp.int32), jnp.zeros(Bp - B, jnp.int32)]
+            )
+    inv4, pres, cumle, dd = canon_tables
+    ln, acode = lut_canonical(data.astype(jnp.int32), jnp.asarray(inv4),
+                              jnp.asarray(pres), jnp.asarray(cumle),
+                              jnp.asarray(dd), int(max_len),
+                              bool(full_alphabet))
+    if valid_lens is not None:
+        mask = jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None]
+        ln = jnp.where(mask, ln, 0)
+        acode = jnp.where(mask, acode, jnp.uint32(0))
+    l0, l1 = ln[:, 0::2], ln[:, 1::2]
+    x = acode[:, 0::2] | (acode[:, 1::2] >> l0.astype(jnp.uint32))
+    words_t, bits_t = _merge_call(x.T, (l0 + l1).T, int(N), int(max_len),
+                                  bool(interpret))
+    return words_t.T[:B], bits_t[0, :B]
+
+
 def _roll_up(x, s):
     return jnp.concatenate(
         [x[s:], jnp.zeros((s, x.shape[1]), x.dtype)], axis=0
@@ -179,13 +303,14 @@ def _roll_down(x, s):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_syms", "max_len", "halved", "interpret")
+    jax.jit,
+    static_argnames=("n_syms", "max_len", "halved", "interpret", "full"),
 )
 def _encode_call(data_t, valid_t, inv4, pres, cumle, dd, n_syms, max_len,
-                 halved, interpret):
+                 halved, interpret, full=False):
     rows, B = data_t.shape
     kernel = functools.partial(
-        _encode_kernel, N=n_syms, ML=max_len, halved=halved
+        _encode_kernel, N=n_syms, ML=max_len, halved=halved, full=full
     )
     return pl.pallas_call(
         kernel,
@@ -219,9 +344,20 @@ def pack_pairs(data: jnp.ndarray) -> jnp.ndarray:
 
     Runs in XLA (strided slices are native there; inside Mosaic they lower
     to an unsupported gather) — this is the kernel-input layout transform.
+    u32 bitcast + halfword split instead of u8 strided slices: the byte
+    quads load as one little-endian word (``b0 | b1<<8 | b2<<16 | b3<<24``),
+    whose low/high halves ARE the two packed pairs — no sub-u32 strided
+    access, ~2x less layout traffic.
     """
-    d = data.astype(jnp.int32)
-    return (d[:, 0::2] | (d[:, 1::2] << 8)).T
+    B, N = data.shape
+    if N % 4:
+        d = data.astype(jnp.int32)
+        return (d[:, 0::2] | (d[:, 1::2] << 8)).T
+    w = jax.lax.bitcast_convert_type(
+        data.reshape(B, N // 4, 4), jnp.uint32
+    )
+    pairs = jnp.stack([w & 0xFFFF, w >> 16], axis=-1).reshape(B, N // 2)
+    return pairs.astype(jnp.int32).T
 
 
 def encode_blocks_pallas2(
@@ -230,6 +366,7 @@ def encode_blocks_pallas2(
     max_len: int,
     valid_lens: jnp.ndarray | None = None,
     interpret: bool = False,
+    full_alphabet: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode (B, N) uint8 blocks with the fused canonical Pallas kernel.
 
@@ -266,5 +403,5 @@ def encode_blocks_pallas2(
         jnp.asarray(dd, jnp.int32))
     words_t, bits_t = _encode_call(data_t, valid_t, inv4, pres, cumle32,
                                    dd32, int(N), int(max_len), halved,
-                                   bool(interpret))
+                                   bool(interpret), bool(full_alphabet))
     return words_t.T[:B], bits_t[0, :B]
