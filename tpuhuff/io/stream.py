@@ -598,9 +598,18 @@ def read_decompress_write_hf2(
                 rows, bit0 = payload_to_lane_words(buf, ls.astype(np.int64),
                                                    le.astype(np.int64),
                                                    hdr.block_len)
-                out = decode_rows_device(rows, bit0,
-                                         (le - ls).astype(np.int32),
-                                         hdr.tree, hdr.block_len)
+                # bucket the shapes (group padded to gsize, word count to a
+                # multiple of 8) so every group of every file reuses ONE
+                # compiled program — device shapes are part of the jit key
+                W8 = -(-rows.shape[1] // 8) * 8
+                rows_p = np.zeros((gsize, W8), np.uint32)
+                rows_p[:nb, : rows.shape[1]] = rows
+                bit0_p = np.zeros(gsize, np.int32)
+                bit0_p[:nb] = bit0
+                nbits_p = np.zeros(gsize, np.int32)
+                nbits_p[:nb] = (le - ls).astype(np.int32)
+                out = decode_rows_device(rows_p, bit0_p, nbits_p,
+                                         hdr.tree, hdr.block_len)[:nb]
                 if caps[-1] != hdr.block_len:
                     dst.write(out[:-1].tobytes())
                     dst.write(out[-1, : int(caps[-1])].tobytes())

@@ -44,6 +44,14 @@ __all__ = [
 LANES = 128
 SUB = 8  # sub-blocks per sublane group: ops run on full (8, 128) tiles
 
+# packed 4-syms/u32 output store — measured SLOWER on v5e (12.4 vs 15.1
+# GB/s: the in-loop packing ops cost more than the saved output traffic);
+# TPUHUFF_DEC_PACK=1 re-enables for experiments
+import os as _os
+
+_DEC_PACK = _os.environ.get("TPUHUFF_DEC_PACK", "0") == "1"
+
+
 
 def _sel_scalar(bits, tab_ref, lo: int, size: int):
     """Select ``tab_ref[0, lo + index]`` (scalars broadcast over the bit
@@ -68,10 +76,15 @@ def _sel_list(bits, items, lo: int, size: int):
 
 
 def _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
-                 block_len: int, unroll: int, wpad: int):
+                 block_len: int, unroll: int, wpad: int,
+                 packed: bool = False):
     """Shared scan scaffolding: window formation, cursor bookkeeping, the
     per-step buffer roll, output stores.  ``decode_window`` maps the next
-    32 bits (MSB-aligned u32) to ``(symbol u32, code length i32)``."""
+    32 bits (MSB-aligned u32) to ``(symbol u32, code length i32)``.
+
+    ``packed``: store 4 symbols per u32 output word (``s0 | s1<<8 | ...``,
+    little-endian byte order for the XLA-side bitcast) — quarters the
+    kernel's output HBM traffic and the inverse-layout pass."""
     S = unroll
     buf = rows_ref[:].astype(jnp.uint32)   # (wpad*8, 128)
     r = bit0_ref[:].astype(jnp.int32)      # (8, 128)
@@ -102,7 +115,8 @@ def _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
             sym, ln = decode_window(hi | lo)
             active = consumed + ln <= nbits
             ln = jnp.where(active, ln, 0)
-            syms.append(jnp.where(active, sym, jnp.uint32(0)).astype(jnp.int32))
+            sv = jnp.where(active, sym, jnp.uint32(0))
+            syms.append(sv if packed else sv.astype(jnp.int32))
             cur = cur + ln
             consumed = consumed + ln
         qt = cur >> 5
@@ -118,9 +132,21 @@ def _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
             buf = jnp.where(mt, rolled, buf)
             stepw *= 2
             bit += 1
-        out_ref[pl.dslice(i * S * SUB, S * SUB), :] = jnp.concatenate(
-            syms, axis=0
-        )
+        if packed:
+            ps = [
+                syms[4 * j]
+                | (syms[4 * j + 1] << 8)
+                | (syms[4 * j + 2] << 16)
+                | (syms[4 * j + 3] << 24)
+                for j in range(S // 4)
+            ]
+            out_ref[pl.dslice(i * (S // 4) * SUB, (S // 4) * SUB), :] = (
+                jnp.concatenate(ps, axis=0)
+            )
+        else:
+            out_ref[pl.dslice(i * S * SUB, S * SUB), :] = jnp.concatenate(
+                syms, axis=0
+            )
         return buf, cur & 31, consumed
 
     jax.lax.fori_loop(0, block_len // S, body, (buf, r, consumed))
@@ -128,7 +154,7 @@ def _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
 
 def _decode_kernel(rows_ref, bit0_ref, nbits_ref, ub_ref, dd_ref, perm_ref,
                    out_ref, *, block_len: int, max_len: int, unroll: int,
-                   wpad: int):
+                   wpad: int, packed: bool):
     """Canonical-ladder window: ``max_len - 1`` compares + permutation."""
 
     def decode_window(window):
@@ -148,12 +174,12 @@ def _decode_kernel(rows_ref, bit0_ref, nbits_ref, ub_ref, dd_ref, perm_ref,
         return (word >> sh) & jnp.uint32(0xFF), ln
 
     _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
-                 block_len, unroll, wpad)
+                 block_len, unroll, wpad, packed)
 
 
 def _decode_kernel_general(rows_ref, bit0_ref, nbits_ref, eytz_ref, sym4_ref,
                            len4_ref, out_ref, *, block_len: int, unroll: int,
-                           wpad: int):
+                           wpad: int, packed: bool):
     """General prefix-tree window: 8-level interval search over the 256
     sorted left-aligned leaf thresholds in Eytzinger (BFS heap) layout —
     decodes ANY tree shape, e.g. a reference-built ``.hff`` (VERDICT r1
@@ -180,20 +206,31 @@ def _decode_kernel_general(rows_ref, bit0_ref, nbits_ref, eytz_ref, sym4_ref,
         return sym, ln
 
     _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
-                 block_len, unroll, wpad)
+                 block_len, unroll, wpad, packed)
+
+
+def _out_spec(block_len: int, packed: bool, cells: int):
+    """(out_specs, out_shape) for the packed / unpacked symbol store."""
+    rows = (block_len // 4) if packed else block_len
+    dt = jnp.uint32 if packed else jnp.int32
+    return (
+        pl.BlockSpec((rows * SUB, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((cells * rows * SUB, LANES), dt),
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_len", "block_len", "unroll", "interpret"),
+    static_argnames=("max_len", "block_len", "unroll", "interpret", "packed"),
 )
 def _decode_call(rows_g, bit0_g, nbits_g, ub, dd, perm4, max_len, block_len,
-                 unroll, interpret):
+                 unroll, interpret, packed=False):
     cells = bit0_g.shape[0] // SUB
     wpad = rows_g.shape[0] // (cells * SUB)
     kernel = functools.partial(
         _decode_kernel, block_len=block_len, max_len=max_len,
-        unroll=unroll, wpad=wpad,
+        unroll=unroll, wpad=wpad, packed=packed,
     )
     return pl.pallas_call(
         kernel,
@@ -209,24 +246,23 @@ def _decode_call(rows_g, bit0_g, nbits_g, ub, dd, perm4, max_len, block_len,
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_len * SUB, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cells * block_len * SUB, LANES),
-                                       jnp.int32),
+        out_specs=_out_spec(block_len, packed, cells)[0],
+        out_shape=_out_spec(block_len, packed, cells)[1],
         interpret=interpret,
     )(rows_g, bit0_g, nbits_g, ub, dd, perm4)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "unroll", "interpret"),
+    static_argnames=("block_len", "unroll", "interpret", "packed"),
 )
 def _decode_call_general(rows_g, bit0_g, nbits_g, eytz, sym4, len4,
-                         block_len, unroll, interpret):
+                         block_len, unroll, interpret, packed=False):
     cells = bit0_g.shape[0] // SUB
     wpad = rows_g.shape[0] // (cells * SUB)
     kernel = functools.partial(
         _decode_kernel_general, block_len=block_len, unroll=unroll, wpad=wpad,
+        packed=packed,
     )
     return pl.pallas_call(
         kernel,
@@ -242,10 +278,8 @@ def _decode_call_general(rows_g, bit0_g, nbits_g, eytz, sym4, len4,
             pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_len * SUB, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cells * block_len * SUB, LANES),
-                                       jnp.int32),
+        out_specs=_out_spec(block_len, packed, cells)[0],
+        out_shape=_out_spec(block_len, packed, cells)[1],
         interpret=interpret,
     )(rows_g, bit0_g, nbits_g, eytz, sym4, len4)
 
@@ -297,8 +331,22 @@ def decode_rows_fused_general(
     )
     bit0_g = bit0.astype(jnp.int32).reshape(cells * SUB, LANES)
     nbits_g = nbits.astype(jnp.int32).reshape(cells * SUB, LANES)
+    packed = _DEC_PACK and S % 4 == 0 and block_len % 4 == 0
     out = _decode_call_general(rows_g, bit0_g, nbits_g, eytz, sym4, len4,
-                               block_len, S, interpret)
+                               block_len, S, interpret, packed)
+    return _inverse_layout(out, cells, block_len, B, packed)
+
+
+def _inverse_layout(out, cells, block_len, B, packed):
+    """Cell-major kernel output -> (B, block_len) uint8, on device."""
+    if packed:
+        rows = block_len // 4
+        out = out.reshape(cells, rows, SUB, LANES)
+        out = out.transpose(0, 2, 3, 1).reshape(B, rows)
+        # u32 word -> 4 bytes, little-endian: s0 at the low byte
+        return jax.lax.bitcast_convert_type(out, jnp.uint8).reshape(
+            B, block_len
+        )
     out = out.reshape(cells, block_len, SUB, LANES)
     return out.transpose(0, 2, 3, 1).reshape(B, block_len).astype(jnp.uint8)
 
@@ -346,10 +394,10 @@ def decode_rows_fused(
     )
     bit0_g = bit0.astype(jnp.int32).reshape(cells * SUB, LANES)
     nbits_g = nbits.astype(jnp.int32).reshape(cells * SUB, LANES)
+    packed = _DEC_PACK and S % 4 == 0 and block_len % 4 == 0
     out = _decode_call(rows_g, bit0_g, nbits_g, ub32, dd32, perm,
-                       max_len, block_len, S, interpret)
-    out = out.reshape(cells, block_len, SUB, LANES)
-    return out.transpose(0, 2, 3, 1).reshape(B, block_len).astype(jnp.uint8)
+                       max_len, block_len, S, interpret, packed)
+    return _inverse_layout(out, cells, block_len, B, packed)
 
 
 def decode_blocks_pallas_canonical(
