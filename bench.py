@@ -202,7 +202,8 @@ def main() -> None:
         # container-natural rows via the (threaded C++) row gather
         rows, bit0 = payload_to_lane_words(payload, starts, ends, DEC_BLOCK)
         nbits = (ends - starts).astype(np.int32)
-        unroll = 8 if DEC_BLOCK % 8 == 0 else 1
+        unroll = next(u for u in (16, 8, 4, 2, 1)
+                      if DEC_BLOCK % u == 0)
         group = SUB * LANES
         Bp = -(-Bd // group) * group
         wpad = max(rows.shape[1], unroll + 1)

@@ -321,6 +321,88 @@ int64_t huffc_decode(const uint8_t* comp, uint64_t start_bit, uint64_t end_bit,
   return (int64_t)(p - out);
 }
 
+// Walk a bit range WITHOUT emitting, recording the bit offset after every
+// `block_len`-th letter — the .hff -> .hf2 transcoder's indexer (the index
+// is what the reference format lacks for parallel decode).  Resumable like
+// huffc_decode: `*inout_in_block` carries the letter count of the current
+// (unfinished) block across windows, `*resume_bit` returns the offset just
+// past the last complete code.  Returns the number of boundaries written,
+// or -1 if `max_bounds` is too small.
+int64_t huffc_index_blocks(const uint8_t* comp, uint64_t start_bit,
+                           uint64_t end_bit, const int16_t* next_state,
+                           const uint8_t* emit_count,
+                           const uint8_t* last_emit_bit, const int32_t* left,
+                           const int32_t* right,
+                           const int16_t* state_of_node,
+                           const int32_t* node_of_state, int32_t root,
+                           uint64_t block_len, uint64_t* boundaries,
+                           int64_t max_bounds, uint64_t* inout_in_block,
+                           uint64_t* resume_bit) {
+  uint64_t in_block = inout_in_block ? *inout_in_block : 0;
+  int64_t nb = 0;
+  uint64_t last_emit_end = start_bit;
+  uint64_t bit = start_bit;
+  int32_t node = root;
+  if (left[root] < 0) {  // degenerate: one letter per bit
+    for (; bit < end_bit; ++bit) {
+      if (++in_block == block_len) {
+        if (nb >= max_bounds) return -1;
+        boundaries[nb++] = bit + 1;
+        in_block = 0;
+      }
+    }
+    if (resume_bit) *resume_bit = end_bit;
+    if (inout_in_block) *inout_in_block = in_block;
+    return nb;
+  }
+  // helper lambda: per-bit walk over [bit, stop)
+  auto walk_bits = [&](uint64_t stop) -> int64_t {
+    for (; bit < stop; ++bit) {
+      int b = (comp[bit >> 3] >> (7 - (bit & 7))) & 1;
+      node = b ? right[node] : left[node];
+      if (left[node] < 0) {
+        node = root;
+        last_emit_end = bit + 1;
+        if (++in_block == block_len) {
+          if (nb >= max_bounds) return -1;
+          boundaries[nb++] = bit + 1;
+          in_block = 0;
+        }
+      }
+    }
+    return 0;
+  };
+  uint64_t head_stop = end_bit < ((bit + 7) & ~7ull) ? end_bit
+                                                     : ((bit + 7) & ~7ull);
+  if (walk_bits(head_stop) < 0) return -1;
+  int16_t state = state_of_node[node];
+  uint64_t n_full = (end_bit - bit) >> 3;
+  const uint8_t* cp = comp + (bit >> 3);
+  for (uint64_t i = 0; i < n_full; ++i) {
+    uint64_t idx = (uint64_t)state * 256 + cp[i];
+    unsigned c = emit_count[idx];
+    if (in_block + c < block_len) {  // fast path: boundary not crossed
+      in_block += c;
+      if (c) last_emit_end = bit + 8 * i + last_emit_bit[idx] + 1;
+      state = next_state[idx];
+      continue;
+    }
+    // boundary inside this byte: re-walk it per bit from the DFA's node
+    node = node_of_state[state];
+    uint64_t save = bit;
+    bit = save + 8 * i;
+    if (walk_bits(bit + 8) < 0) return -1;
+    state = state_of_node[node];
+    bit = save;
+  }
+  bit += n_full * 8;
+  node = node_of_state[state];
+  if (walk_bits(end_bit) < 0) return -1;
+  if (resume_bit) *resume_bit = last_emit_end;
+  if (inout_in_block) *inout_in_block = in_block;
+  return nb;
+}
+
 // Threaded decode of `n_blocks` independent bit ranges into pre-assigned
 // output slots.  starts/ends in bits; out_offsets/out_caps in bytes.
 // Returns 0 on success; on failure, the index of the failing block minus

@@ -70,7 +70,7 @@ def main():
     starts = np.concatenate([[0], ends[:-1]])
     rows, bit0 = payload_to_lane_words(payload, starts, ends, BLOCK)
     nbits = (ends - starts).astype(np.int32)
-    unroll = 8
+    unroll = int(os.environ.get("DEC_UNROLL", "8"))
     group = SUB * LANES
     Bp = -(-B // group) * group
     wpad = max(rows.shape[1], unroll + 1)

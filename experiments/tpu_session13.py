@@ -92,13 +92,13 @@ def run_shape(N):
         (blocks[:, 0::2].astype(np.int32) | (blocks[:, 1::2].astype(np.int32) << 8)).T))
     valid_t = jnp.full((1, B), N, jnp.int32)
 
-    def make(K, e2e):
+    def make(K):
+        # kernel-only loop; the e2e case builds its own closure below
+        # (ADVICE r1: the old e2e branch here was dead — make_e2e shadowed it)
         @jax.jit
         def run(x):
             def body(i, acc):
                 rolled = jnp.roll(x, i, axis=1)
-                if e2e:
-                    rolled = pack_pairs(rolled.T)  # (B,N)->(N/2,B) in XLA
                 wo, bo = _encode_call(rolled, valid_t, inv4, pres, cumle32,
                                       dd32, N, ML, True, False)
                 return acc + bo[0, 0] + bo[0, -1]
@@ -125,7 +125,7 @@ def run_shape(N):
                 return run
             mk = make_e2e
         else:
-            mk = lambda K: make(K, False)
+            mk = lambda K: make(K)
         tms = {}
         try:
             for K in (2, 16):

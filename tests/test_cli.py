@@ -116,3 +116,19 @@ def test_cli_stats_with_replace_reports_true_ratio(tmp_path, monkeypatch, capsys
     assert f"{len(data)} ->" in out
     ratio = float(out.split("ratio ")[1].split(")")[0])
     assert ratio < 0.9  # compressible input: ratio must not read as ~1.0
+
+
+def test_cli_reindex_hff_to_hf2(tmp_path, monkeypatch):
+    from tpuhuff import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    monkeypatch.chdir(tmp_path)
+    data = np.random.default_rng(3).integers(0, 150, 40_000,
+                                             dtype=np.uint8).tobytes()
+    (tmp_path / "f.bin").write_bytes(data)
+    assert _run(["-n", "f.bin"]) == 0
+    assert _run(["--reindex", "-n", "--hf2-block", "1Ki", "f.bin.hff"]) == 0
+    assert (tmp_path / "f.bin.hf2").exists()
+    assert _run(["-d", "-n", "--hf2", "f.bin.hf2", "out.bin"]) == 0
+    assert (tmp_path / "out.bin").read_bytes() == data

@@ -305,3 +305,49 @@ print('OK')
     r = subprocess.run([sys.executable, "-c", script], capture_output=True,
                        text=True, timeout=600, env=env)
     assert r.returncode == 0 and "OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
+def test_transcode_hff_to_hf2(tmpfiles, monkeypatch):
+    """Re-index a .hff (as-built, NON-canonical tree) into .hf2 without
+    recompressing; both containers must decode to the original bytes and
+    the .hf2 must block-parallel-decode (threaded C++ and device paths)."""
+    from tpuhuff import native
+    from tpuhuff.io import transcode_hff_to_hf2
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(55)
+    data = rng.integers(0, 230, 100_000, dtype=np.uint8).tobytes()
+    src, hff, back = tmpfiles(data)
+    read_compress_write(src, hff)
+    hf2 = hff + ".hf2"
+    transcode_hff_to_hf2(hff, hf2, block_len=512)
+    hdr = read_hf2_header(open(hf2, "rb"))
+    assert hdr.orig_len == len(data)
+    assert hdr.num_blocks == -(-len(data) // 512)
+    read_decompress_write_hf2(hf2, back)
+    assert open(back, "rb").read() == data
+    # device path exercises the general (non-canonical) decoder
+    read_decompress_write_hf2(hf2, back + ".dev", device=True)
+    assert open(back + ".dev", "rb").read() == data
+    # streaming: tiny windows across code boundaries give identical output
+    hf2b = hff + ".b.hf2"
+    transcode_hff_to_hf2(hff, hf2b, block_len=512, chunk_bytes=997)
+    assert open(hf2b, "rb").read() == open(hf2, "rb").read()
+
+
+def test_transcode_block_boundary_exact(tmpfiles):
+    from tpuhuff import native
+    from tpuhuff.io import transcode_hff_to_hf2
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    data = (b"abcd" * 256)  # 1024 bytes = exactly 2 blocks of 512
+    src, hff, back = tmpfiles(data)
+    read_compress_write(src, hff)
+    hf2 = hff + ".hf2"
+    transcode_hff_to_hf2(hff, hf2, block_len=512)
+    hdr = read_hf2_header(open(hf2, "rb"))
+    assert hdr.orig_len == len(data) and hdr.num_blocks == 2
+    read_decompress_write_hf2(hf2, back)
+    assert open(back, "rb").read() == data

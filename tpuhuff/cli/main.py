@@ -85,6 +85,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    "256 with --device, 64Ki on host)")
     p.add_argument("--device", action="store_true",
                    help="Route block packing through the JAX/TPU kernels")
+    p.add_argument("--reindex", action="store_true",
+                   help="Re-index an existing .hff into .hf2 without "
+                   "recompressing (enables parallel/TPU decode)")
     p.add_argument("--threads", type=int, default=None,
                    help="Host decode/stitch threads (default: all cores)")
     p.add_argument("--stats", action="store_true",
@@ -140,6 +143,31 @@ def main(argv=None) -> int:
     start = time.perf_counter()
     try:
         block_size = parse_block_size(args.block_size)
+        if args.reindex:
+            src = args.SRC_FILE
+            if os.path.splitext(src)[1].lstrip(".") != EXTENSION:
+                raise CliError(
+                    f"Unrecognized file format, expected {EXTENSION}",
+                    "UnrecognizedFormat",
+                )
+            dst = args.DST_FILE
+            if dst == "./SRC_FILE.hff":
+                dst = os.path.splitext(os.path.join(
+                    ".", os.path.basename(src)))[0] + "." + EXTENSION2
+            if not os.path.exists(src):
+                raise CliError(f"{src!r}: no such file", "Io")
+            if not _ask_replace(dst, args.noask):
+                return 0
+            from ..io import transcode_hff_to_hf2
+
+            hf2_block = (parse_block_size(args.hf2_block)
+                         if args.hf2_block else 65536)
+            transcode_hff_to_hf2(src, dst, block_len=hf2_block)
+            if args.replace:
+                os.remove(src)
+            if args.time:
+                print(f"{time.perf_counter() - start:.6f}s")
+            return 0
         ext = EXTENSION2 if args.hf2 else EXTENSION
         src, dst = _resolve_paths(args, ext)
         if not os.path.exists(src):

@@ -8,6 +8,7 @@ from .stream import (
     read_compress_write_hf2,
     read_decompress_write,
     read_decompress_write_hf2,
+    transcode_hff_to_hf2,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "read_compress_write_hf2",
     "read_decompress_write",
     "read_decompress_write_hf2",
+    "transcode_hff_to_hf2",
 ]

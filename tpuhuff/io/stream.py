@@ -45,6 +45,7 @@ __all__ = [
     "read_decompress_write",
     "read_compress_write_hf2",
     "read_decompress_write_hf2",
+    "transcode_hff_to_hf2",
     "huff_tree_from_stream",
     "StreamError",
 ]
@@ -516,6 +517,101 @@ def read_compress_write_hf2(
             sink.write(payload, nbits)
             bidx += nb
         sink.flush()
+
+
+def transcode_hff_to_hf2(
+    src_path: str, dst_path: str, block_len: int = 65536,
+    chunk_bytes: int | None = None,
+) -> None:
+    """Re-index a ``.hff`` into ``.hf2`` WITHOUT recompressing.
+
+    The reference format carries no block boundaries, forcing bit-serial
+    decode; this walks the payload once with the DFA (recording the bit
+    offset after every ``block_len``-th letter — no output is produced) and
+    writes the identical tree + payload bits wrapped in the block-indexed
+    container.  A reference-written file then decodes block-parallel on
+    threads or TPU (the general interval kernel handles its non-canonical
+    tree).  Streaming: O(chunk) memory + 8 bytes per block for the index.
+
+    Requires the native runtime (the indexer is the C++ DFA).
+    """
+    nat = _native()
+    if nat is None:
+        raise RuntimeError("transcode_hff_to_hf2 requires the native runtime")
+    chunk = chunk_bytes if chunk_bytes is not None else _CHUNK
+    size = os.path.getsize(src_path)
+    with open(src_path, "rb") as src:
+        tree, data_padding, header_len = _read_hff_header(src, src_path)
+        payload_len = size - header_len
+        total_bits = max(payload_len * 8 - data_padding, 0)
+        tables = nat.build_dfa(tree)
+        # pass 1: stream the payload through the indexer (no output)
+        bounds_parts = []
+        pos_bit = 0
+        in_block = 0
+        window = b""
+        win_byte = 0
+        while pos_bit < total_bits:
+            drop = pos_bit // 8 - win_byte
+            if drop > 0:
+                window = window[drop:]
+                win_byte += drop
+            want_end = min(win_byte + len(window) + chunk,
+                           (total_bits + 7) // 8)
+            need = want_end - (win_byte + len(window))
+            if need > 0:
+                window += src.read(need)
+            end_bit = min((win_byte + len(window)) * 8, total_bits)
+            bounds, resume, in_block = nat.index_blocks(
+                np.frombuffer(window, dtype=np.uint8),
+                pos_bit - win_byte * 8, end_bit - win_byte * 8,
+                tables, block_len, in_block,
+            )
+            if bounds.size:
+                bounds_parts.append(bounds + np.uint64(win_byte * 8))
+            if end_bit == total_bits:
+                pos_bit = total_bits
+            else:
+                new_pos = resume + win_byte * 8
+                if new_pos <= pos_bit:
+                    raise StreamError(
+                        f"{src_path!r} stores invalid header information",
+                        "InvalidHeaderInfo",
+                    )
+                pos_bit = new_pos
+        boundaries = (np.concatenate(bounds_parts)
+                      if bounds_parts else np.zeros(0, np.uint64))
+        orig_len = boundaries.size * block_len + in_block
+        # last (partial or boundary-exact) block ends at total_bits
+        if in_block or not boundaries.size:
+            end_bits = np.concatenate(
+                [boundaries, [np.uint64(total_bits)]]
+            ).astype(np.uint64)
+        else:
+            end_bits = boundaries
+            end_bits[-1] = total_bits  # absorb any trailing padding bits
+        n_blocks = max(end_bits.size, 1)
+        lens_lut, _ = tree.encode_tables()
+        ml = int(np.asarray(lens_lut).max(initial=1))
+        width = hf2_table_width(block_len, ml)
+        # pass 2: header + index + verbatim payload copy
+        with open(dst_path, "wb") as dst:
+            table_off, _ = write_hf2_prelude(
+                dst, tree, orig_len, block_len, n_blocks, width,
+                canonical=False,
+            )
+            write_hf2_table_slice(
+                dst, table_off, width, 0,
+                np.diff(end_bits, prepend=np.uint64(0)),
+            )
+            src.seek(header_len)
+            left = (total_bits + 7) // 8
+            while left > 0:
+                piece = src.read(min(left, chunk))
+                if not piece:
+                    break
+                dst.write(piece)
+                left -= len(piece)
 
 
 def read_decompress_write_hf2(

@@ -426,9 +426,10 @@ def decode_rows_device(
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    if unroll is None:  # widest unroll dividing block_len (HW sweet spot: 8);
-        # plain scan off-TPU — the wide unrolled step compiles slowly on CPU
-        cands = (8, 4, 2, 1) if on_tpu else (1,)
+    if unroll is None:  # widest unroll dividing block_len (HW sweet spot:
+        # 16 at BL=256, r2 probe: 16.7 vs 15.1 GB/s at 8); plain scan
+        # off-TPU — the wide unrolled step compiles slowly on CPU
+        cands = (16, 8, 4, 2, 1) if on_tpu else (1,)
         unroll = next(s for s in cands if block_len % s == 0)
     pref = os.environ.get("TPUHUFF_DECODER", "").lower()
     canon = make_canonical_decode_tables(tree)

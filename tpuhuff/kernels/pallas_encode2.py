@@ -45,6 +45,10 @@ import os as _os
 
 _STACK_LADDER = _os.environ.get("TPUHUFF_STACK_LADDER", "0") == "1"
 
+# lanes (blocks) per grid cell: wider cells amortize per-cell grid/DMA
+# overhead at large batch (TPUHUFF_ENC_LANES, power-of-two multiple of 128)
+CELL_LANES = int(_os.environ.get("TPUHUFF_ENC_LANES", "128"))
+
 
 def _sel_scalar(bits, tab_ref, lo: int, size: int):
     if size == 1:
@@ -103,9 +107,9 @@ def _ladder(d, sym_idx, valid, inv4_ref, pres_ref, cumle_ref, dd_ref,
 def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
                    dd_ref, words_ref, bits_ref, *, N: int, ML: int,
                    halved: bool, full: bool):
-    d = data_ref[:]  # (rows, 128) int32: one byte, or a packed pair
-    rows = d.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    d = data_ref[:]  # (rows, lanes) int32: one byte, or a packed pair
+    rows, lanes = d.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
     valid = valid_ref[:]
 
     if halved:
@@ -135,7 +139,7 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
 
     # ---- doubling levels with width-bounded shift trees ----
     while gsyms < N:
-        rowv = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+        rowv = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
         is_b = ((rowv >> (W.bit_length() - 1)) & 1) == 1
         a_len = jnp.where(is_b, _roll_down(alen, W), alen)
         b_len = jnp.where(is_b, alen, _roll_up(alen, W))
@@ -233,9 +237,9 @@ def _merge_call(x_t, len_t, n_syms, max_len, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((rows, LANES), lambda i: (0, i),
+            pl.BlockSpec((rows, lanes), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, i),
+            pl.BlockSpec((1, lanes), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -309,16 +313,17 @@ def _roll_down(x, s):
 def _encode_call(data_t, valid_t, inv4, pres, cumle, dd, n_syms, max_len,
                  halved, interpret, full=False):
     rows, B = data_t.shape
+    lanes = CELL_LANES if B % CELL_LANES == 0 else LANES
     kernel = functools.partial(
         _encode_kernel, N=n_syms, ML=max_len, halved=halved, full=full
     )
     return pl.pallas_call(
         kernel,
-        grid=(B // LANES,),
+        grid=(B // lanes,),
         in_specs=[
-            pl.BlockSpec((rows, LANES), lambda i: (0, i),
+            pl.BlockSpec((rows, lanes), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, i),
+            pl.BlockSpec((1, lanes), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -326,9 +331,9 @@ def _encode_call(data_t, valid_t, inv4, pres, cumle, dd, n_syms, max_len,
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((rows, LANES), lambda i: (0, i),
+            pl.BlockSpec((rows, lanes), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, i),
+            pl.BlockSpec((1, lanes), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

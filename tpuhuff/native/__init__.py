@@ -32,6 +32,7 @@ __all__ = [
     "decode_resume",
     "decode_blocks",
     "extract_rows",
+    "index_blocks",
     "stitch_blocks",
     "DfaTables",
     "num_threads",
@@ -131,6 +132,12 @@ def _declare(lib: ctypes.CDLL) -> None:
         _u32p, ctypes.c_int,
     ]
     lib.huffc_extract_rows.restype = None
+    lib.huffc_index_blocks.argtypes = [
+        _u8p, ctypes.c_uint64, ctypes.c_uint64,
+        _i16p, _u8p, _u8p, _i32p, _i32p, _i16p, _i32p, ctypes.c_int32,
+        ctypes.c_uint64, _u64p, ctypes.c_int64, _u64p, _u64p,
+    ]
+    lib.huffc_index_blocks.restype = ctypes.c_int64
     lib.huffc_stitch_blocks.argtypes = [
         _u8p, ctypes.c_uint64, _u64p, ctypes.c_int64,
         _u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
@@ -295,6 +302,37 @@ def decode_blocks(
 
 def build_dfa(tree) -> DfaTables:
     return DfaTables(tree)
+
+
+def index_blocks(
+    comp: np.ndarray, start_bit: int, end_bit: int, tables: DfaTables,
+    block_len: int, in_block: int = 0,
+) -> Tuple[np.ndarray, int, int]:
+    """Walk a bit range without emitting; returns ``(boundaries, resume_bit,
+    in_block)`` where ``boundaries`` holds the bit offset after every
+    ``block_len``-th letter.  Resumable across windows like
+    :func:`decode_resume` (re-feed from ``resume_bit`` with the returned
+    ``in_block``).  Powers the .hff -> .hf2 transcoder."""
+    lib = _load()
+    assert lib is not None
+    comp = np.ascontiguousarray(comp, dtype=np.uint8)
+    # every letter is >= 1 bit, so at most (bits // block_len) + 1 boundaries
+    cap = int(end_bit - start_bit) // max(int(block_len), 1) + 2
+    bounds = np.zeros(cap, dtype=np.uint64)
+    state = np.asarray([in_block], dtype=np.uint64)
+    resume = np.zeros(1, dtype=np.uint64)
+    nb = int(
+        lib.huffc_index_blocks(
+            comp, start_bit, end_bit,
+            tables.next_state.reshape(-1), tables.emit_count.reshape(-1),
+            tables.last_emit_bit.reshape(-1), tables.left, tables.right,
+            tables.state_of_node, tables.node_of_state, tables.root,
+            block_len, bounds, cap, state, resume,
+        )
+    )
+    if nb < 0:
+        raise RuntimeError("huffc_index_blocks: boundary buffer overflow")
+    return bounds[:nb].copy(), int(resume[0]), int(state[0])
 
 
 def extract_rows(
