@@ -452,6 +452,8 @@ def decode_rows_device(
 
         thr, sym4, len4 = make_decode_tables(tree)
         eytz, s4, l4 = make_general_fused_tables(thr, sym4, len4)
+        n_leaves = len(tree.read_codes())
+        levels = max(1, (max(n_leaves, 2) - 1).bit_length())
         B, W = np.shape(rows)
         group = SUB * LANES
         Bp = -(-B // group) * group
@@ -464,7 +466,7 @@ def decode_rows_device(
         nbits_p[:B] = np.asarray(nbits, dtype=np.int32)
         out = decode_rows_fused_general(
             jnp.asarray(rows_p), jnp.asarray(bit0_p), jnp.asarray(nbits_p),
-            eytz, s4, l4, block_len, unroll, interp,
+            eytz, s4, l4, block_len, unroll, interp, levels,
         )
         return np.asarray(out[:B])
     if canon is not None:

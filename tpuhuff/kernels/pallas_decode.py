@@ -55,11 +55,14 @@ _DEC_PACK = _os.environ.get("TPUHUFF_DEC_PACK", "0") == "1"
 
 def _sel_scalar(bits, tab_ref, lo: int, size: int):
     """Select ``tab_ref[0, lo + index]`` (scalars broadcast over the bit
-    arrays) by LSB-first boolean index bits — gather-free."""
+    arrays) by LSB-first boolean index bits — gather-free.  A python-False
+    bit (statically unreachable upper half) prunes its subtree."""
     if size == 1:
         return tab_ref[0, lo]
     half = size // 2
     level = half.bit_length() - 1
+    if bits[level] is False:
+        return _sel_scalar(bits, tab_ref, lo, half)
     lo_v = _sel_scalar(bits, tab_ref, lo, half)
     hi_v = _sel_scalar(bits, tab_ref, lo + half, half)
     return jnp.where(bits[level], hi_v, lo_v)
@@ -179,22 +182,27 @@ def _decode_kernel(rows_ref, bit0_ref, nbits_ref, ub_ref, dd_ref, perm_ref,
 
 def _decode_kernel_general(rows_ref, bit0_ref, nbits_ref, eytz_ref, sym4_ref,
                            len4_ref, out_ref, *, block_len: int, unroll: int,
-                           wpad: int, packed: bool):
-    """General prefix-tree window: 8-level interval search over the 256
-    sorted left-aligned leaf thresholds in Eytzinger (BFS heap) layout —
-    decodes ANY tree shape, e.g. a reference-built ``.hff`` (VERDICT r1
-    missing #3/#6).  ~255 selects per symbol vs the ladder's ~max_len
-    compares, but VMEM-resident — no per-step HBM pass like the XLA scan.
+                           wpad: int, packed: bool, levels: int = 8):
+    """General prefix-tree window: interval search over the sorted
+    left-aligned leaf thresholds in Eytzinger (BFS heap) layout — decodes
+    ANY tree shape, e.g. a reference-built ``.hff`` (VERDICT r1 #3/#6).
+    ``levels = ceil(log2(n_leaves))``: a K-leaf tree needs only
+    ``2^levels - 1`` selects per symbol (255 worst case vs the ladder's
+    ~max_len compares) — VMEM-resident, no per-step HBM pass.
     """
 
     def decode_window(window):
-        bits_msb = []
-        for k in range(8):
-            if k == 0:
-                cand = eytz_ref[0, 1]
+        # top (8 - levels) index bits are statically 0: the padded table
+        # duplicates the last leaf, so the low-2^levels search still lands
+        # on a correct (symbol, length) — see make_decode_tables
+        bits_msb = [False] * (8 - levels)
+        for k in range(8 - levels, 8):
+            real = [b for b in bits_msb if b is not False]
+            if not real:
+                cand = eytz_ref[0, 1 << k]
             else:
-                cand = _sel_scalar(list(reversed(bits_msb)), eytz_ref,
-                                   1 << k, 1 << k)
+                cand = _sel_scalar(list(reversed(real)), eytz_ref,
+                                   1 << k, 1 << len(real))
             bits_msb.append(window >= cand)
         word_bits_lsb = list(reversed(bits_msb[:6]))
         sword = _sel_scalar(word_bits_lsb, sym4_ref, 0, 64)
@@ -254,15 +262,16 @@ def _decode_call(rows_g, bit0_g, nbits_g, ub, dd, perm4, max_len, block_len,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "unroll", "interpret", "packed"),
+    static_argnames=("block_len", "unroll", "interpret", "packed", "levels"),
 )
 def _decode_call_general(rows_g, bit0_g, nbits_g, eytz, sym4, len4,
-                         block_len, unroll, interpret, packed=False):
+                         block_len, unroll, interpret, packed=False,
+                         levels=8):
     cells = bit0_g.shape[0] // SUB
     wpad = rows_g.shape[0] // (cells * SUB)
     kernel = functools.partial(
         _decode_kernel_general, block_len=block_len, unroll=unroll, wpad=wpad,
-        packed=packed,
+        packed=packed, levels=levels,
     )
     return pl.pallas_call(
         kernel,
@@ -307,7 +316,7 @@ def make_general_fused_tables(thr, sym4, len4):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "unroll", "interpret"),
+    static_argnames=("block_len", "unroll", "interpret", "levels"),
 )
 def decode_rows_fused_general(
     rows: jnp.ndarray,
@@ -319,8 +328,11 @@ def decode_rows_fused_general(
     block_len: int,
     unroll: int,
     interpret: bool = False,
+    levels: int = 8,
 ) -> jnp.ndarray:
-    """General-tree twin of :func:`decode_rows_fused` (same contract)."""
+    """General-tree twin of :func:`decode_rows_fused` (same contract).
+    ``levels`` = ceil(log2(leaf count)) shrinks the search select trees for
+    sparse alphabets (pass 8 when unknown)."""
     B, wpad = rows.shape
     S = int(unroll)
     cells = B // (SUB * LANES)
@@ -333,7 +345,8 @@ def decode_rows_fused_general(
     nbits_g = nbits.astype(jnp.int32).reshape(cells * SUB, LANES)
     packed = _DEC_PACK and S % 4 == 0 and block_len % 4 == 0
     out = _decode_call_general(rows_g, bit0_g, nbits_g, eytz, sym4, len4,
-                               block_len, S, interpret, packed)
+                               block_len, S, interpret, packed,
+                               int(levels))
     return _inverse_layout(out, cells, block_len, B, packed)
 
 
