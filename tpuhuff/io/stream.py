@@ -175,7 +175,10 @@ def read_compress_write(
             data = np.frombuffer(chunk, dtype=np.uint8)
             with timer.stage("pack", len(chunk)):
                 if enc is not None:
-                    payload, nbits = enc(data)
+                    # multi-chunk streams pad the ragged tail to the full
+                    # chunk shape so it reuses the body's compile
+                    payload, nbits = enc(
+                        data, pad_to_bytes=step if size > step else None)
                 else:
                     payload, nbits = _encode_chunk(data, lens_lut, codes_lut, nat)
             with timer.stage("write", (nbits + 7) // 8):
@@ -217,8 +220,18 @@ def _device_encoder(tree: HuffTree, block_len: int | None = None):
         )
         block_len = 256 if pallas_route else 512
 
-    def encode(data: np.ndarray) -> tuple[bytes, int]:
+    def encode(data: np.ndarray, pad_to_bytes: int | None = None
+               ) -> tuple[bytes, int]:
         blocks, valid, _ = pad_to_blocks(data, block_len, 1)
+        pad_rows = (-(-pad_to_bytes // block_len)
+                    if pad_to_bytes is not None else None)
+        if pad_rows is not None and blocks.shape[0] < pad_rows:
+            # fixed row count across chunks: the ragged tail chunk reuses
+            # the full-chunk compile (valid=0 rows emit nothing)
+            extra = pad_rows - blocks.shape[0]
+            blocks = np.concatenate(
+                [blocks, np.zeros((extra, block_len), np.uint8)], axis=0)
+            valid = np.concatenate([valid, np.zeros(extra, np.int32)])
         jblocks, jvalid = jnp.asarray(blocks), jnp.asarray(valid)
         # missing-letter guard (`comp.rs:427-432`): possible only if the
         # file changed between the histogram pass and this one — the device
@@ -508,7 +521,11 @@ def read_compress_write_hf2(
             left -= data.size
             nb = -(-data.size // block_len)
             if enc is not None:
-                payload, nbits, bit_lens = enc(data, nb)
+                # multi-chunk: tail padded to the body's block count so it
+                # reuses the same compiled program (padding blocks emit 0)
+                nb_enc = max(1, step // block_len) if size > step else nb
+                payload, nbits, bit_lens = enc(data, nb_enc)
+                bit_lens = bit_lens[:nb]
             else:
                 payload, nbits, bit_lens = _encode_block_group(
                     data, block_len, lens_lut, codes_lut, nat
@@ -668,7 +685,13 @@ def read_decompress_write_hf2(
                     dst.write(out[: hdr.orig_len - emitted])
             return
         tables = nat.build_dfa(hdr.tree) if nat is not None else None
-        gsize = max(1, chunk // max(hdr.block_len, 1))
+        # group size: power-of-two buckets from 1024 (the device kernels'
+        # natural cell group) up to the chunk budget, so small files don't
+        # pad to the full chunk and shapes stay reusable across files
+        gcap = max(1024, chunk // max(hdr.block_len, 1))
+        gsize = 1024 if device else max(1, chunk // max(hdr.block_len, 1))
+        while device and gsize < min(B, gcap):
+            gsize *= 2
         for g0 in range(0, B, gsize):
             g1 = min(g0 + gsize, B)
             bit_lo = int(starts[g0])
