@@ -43,7 +43,7 @@ CONTAINER_BLOCK = int(os.environ.get("BENCH_BLOCK", str(64 << 10)))  # config 2
 LANE = int(os.environ.get("BENCH_LANE", "256"))  # kernel lane (session 13)
 DEC_BLOCK = int(os.environ.get("BENCH_DEC_BLOCK", "256"))  # .hf2 device default
 K1 = int(os.environ.get("BENCH_K1", "2"))
-K2 = int(os.environ.get("BENCH_K2", "16"))
+K2 = int(os.environ.get("BENCH_K2", "32"))  # wide spread: slope noise ~1/(K2-K1)
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 
 
