@@ -146,3 +146,35 @@ def test_sharded_encode_raises_on_stale_tree():
     words, bits = sharded_encode(jnp.asarray(blocks), jnp.asarray(valid),
                                  dl, da, mesh)
     assert int(np.asarray(bits).sum()) > 0
+
+
+def test_sharded_decode_blocks_roundtrip():
+    # config-3 decode side: encode sharded, decode sharded, bytes identical
+    from tpuhuff.core.canonical import canonicalize
+    from tpuhuff.dist import sharded_decode_blocks
+    from tpuhuff.kernels.decode import payload_to_lane_words
+    from tpuhuff.kernels.encode import make_encode_tables
+    from tpuhuff.dist.block import sharded_encode
+    from tpuhuff.dist import stitch_words
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    mesh = make_mesh()
+    block_len = 32
+    B = 8 * 16  # multiple of the mesh size
+    data = rng.integers(0, 120, B * block_len - 7, dtype=np.uint8)
+    tree = canonicalize(
+        tpuhuff.HuffTree.from_weights(tpuhuff.ByteWeights.from_bytes(data)))
+    dl, da = make_encode_tables(*tree.encode_tables())
+    blocks, valid, _ = pad_to_blocks(data, block_len, mesh.devices.size)
+    words, bits = sharded_encode(jnp.asarray(blocks), jnp.asarray(valid),
+                                 dl, da, mesh, check_missing=False)
+    bits_np = np.asarray(bits).astype(np.int64)
+    payload, _pad = stitch_words(np.asarray(words), bits_np.astype(np.uint64))
+    ends = np.cumsum(bits_np)
+    starts = np.concatenate([[0], ends[:-1]])
+    rows, bit0 = payload_to_lane_words(payload, starts, ends, block_len)
+    out = np.asarray(sharded_decode_blocks(
+        jnp.asarray(rows.astype(np.uint32)), jnp.asarray(bit0),
+        jnp.asarray((ends - starts).astype(np.int32)), tree, block_len, mesh))
+    assert np.array_equal(out.reshape(-1)[: data.size], data)

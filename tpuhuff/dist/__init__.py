@@ -10,6 +10,7 @@ from .mesh import BLOCK_AXIS, block_sharding, make_mesh, replicated_sharding
 from .block import (
     encode_pipeline,
     pad_to_blocks,
+    sharded_decode_blocks,
     sharded_encode,
     sharded_histogram,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "replicated_sharding",
     "encode_pipeline",
     "pad_to_blocks",
+    "sharded_decode_blocks",
     "sharded_encode",
     "sharded_histogram",
     "compress_sharded",

@@ -32,6 +32,7 @@ __all__ = [
     "sharded_histogram",
     "sharded_encode",
     "sharded_count_missing",
+    "sharded_decode_blocks",
     "encode_pipeline",
     "encode_pipeline_arrays",
     "pad_to_blocks",
@@ -143,6 +144,63 @@ def sharded_encode(
         out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
     )
     return jax.jit(fn)(blocks, valid_lens, lens_lut, acodes_lut, *canon)
+
+
+def sharded_decode_blocks(
+    rows: jnp.ndarray, bit0: jnp.ndarray, nbits: jnp.ndarray, tree,
+    block_len: int, mesh: Mesh, unroll: int | None = None,
+) -> jnp.ndarray:
+    """Block-parallel decode across the mesh (config-3's decode side).
+
+    ``rows`` (B, W) u32 per-block word rows (``payload_to_lane_words``
+    layout), sharded over ``BLOCK_AXIS``; decode tables replicate.  Every
+    chip runs the canonical-ladder decoder on its blocks (the fused Pallas
+    kernel on TPU, the XLA scan elsewhere); returns (B, block_len) uint8
+    with the same sharding.  Requires canonical codes (what the ``.hf2``
+    writers emit); B and the per-shard block count must be multiples of
+    8*128 for the Pallas route.
+    """
+    from ..kernels.decode import (
+        decode_blocks_canonical, make_canonical_decode_tables,
+    )
+
+    canon = make_canonical_decode_tables(tree)
+    if canon is None:
+        raise ValueError("sharded_decode_blocks requires canonical codes")
+    ub, dd, perm4, ml = canon
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if unroll is None:
+        unroll = next(s for s in ((16, 8, 4, 2, 1) if on_tpu else (1,))
+                      if block_len % s == 0)
+
+    if on_tpu:
+        from ..kernels.pallas_decode import decode_rows_fused, make_fused_tables
+
+        t1, t2, t3 = make_fused_tables(ub, dd, perm4)
+
+        def shard(r, b0, nb, a1, a2, a3):
+            return decode_rows_fused(r, b0, nb, a1, a2, a3, ml, block_len,
+                                     unroll)
+
+        tabs = (t1, t2, t3)
+    else:
+        def shard(r, b0, nb, a1, a2, a3):
+            out = decode_blocks_canonical(r, b0, nb, a1, a2, a3, ml,
+                                          block_len, unroll)
+            return out.astype(jnp.uint8)
+
+        tabs = (ub, dd, perm4)
+
+    fn = jax.shard_map(
+        shard, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS),
+                  P(), P(), P()),
+        out_specs=P(BLOCK_AXIS),
+    )
+    return jax.jit(fn)(rows, bit0, nbits, *tabs)
 
 
 def encode_pipeline(
