@@ -351,3 +351,18 @@ def test_transcode_block_boundary_exact(tmpfiles):
     assert hdr.orig_len == len(data) and hdr.num_blocks == 2
     read_decompress_write_hf2(hf2, back)
     assert open(back, "rb").read() == data
+
+
+def test_hf2_device_decode_big_blocks_falls_back(tmpfiles):
+    # host-written .hf2 (64Ki blocks): device=True must not hit a
+    # 65536-step per-lane scan — it falls back to the threaded DFA
+    from tpuhuff import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(66)
+    data = rng.integers(0, 120, 200_000, dtype=np.uint8).tobytes()
+    src, hf2, back = tmpfiles(data)
+    read_compress_write_hf2(src, hf2)  # host default: 64Ki blocks
+    read_decompress_write_hf2(hf2, back, device=True)
+    assert open(back, "rb").read() == data

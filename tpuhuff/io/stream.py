@@ -659,6 +659,12 @@ def read_decompress_write_hf2(
         ends = hdr.end_bits.astype(np.uint64)
         starts = np.concatenate([[np.uint64(0)], ends[:-1]])
         B = hdr.num_blocks
+        if device and hdr.block_len > 2048 and _native() is not None:
+            # big-block containers (host-written .hf2) would force a
+            # block_len-step sequential scan per lane on device — the
+            # threaded DFA is the right engine for those; device decode
+            # shines at the device writer's small blocks
+            device = False
         nat = None if device else _native()
         if not device and nat is None:
             # no native runtime: blocks are contiguous, so the payload is
