@@ -99,3 +99,23 @@ def test_two_process_hf2_roundtrip(tmp_path):
     assert out_file.read_bytes() == data
     # the two-process parallel decode must agree byte-for-byte too
     assert (tmp_path / "mh_roundtrip.bin").read_bytes() == data
+
+
+def test_multihost_output_equals_single_process(tmp_path):
+    """The round-robin streaming writer must produce the same .hf2 bytes
+    regardless of process count (ordered coordinator write)."""
+    from tpuhuff.dist.multihost import compress_file_multihost
+    from tpuhuff.io.stream import read_compress_write_hf2
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 99, 37_777, dtype=np.uint8).tobytes()
+    src = tmp_path / "s.bin"
+    src.write_bytes(data)
+    a = tmp_path / "single.hf2"
+    b = tmp_path / "mh1.hf2"
+    # single process multihost (nproc=1) vs the plain streaming writer with
+    # the same device-limited tree settings + tiny chunks (many rounds)
+    compress_file_multihost(str(src), str(b), block_len=1024,
+                            chunk_bytes=4096)
+    read_compress_write_hf2(str(src), str(a), block_len=1024, device=True)
+    assert a.read_bytes() == b.read_bytes()
