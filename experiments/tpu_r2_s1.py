@@ -1,3 +1,5 @@
+# NOTE (r3): the enc3/full3 variants referenced encode_blocks_pallas3, which
+# was removed from the package (documented negative result + rotted code).
 """Round-2 session 1: decompose BENCH_r01 (4.81 GB/s, 421 s compile).
 
 Times each stage of the bench's one_iter separately on the real chip with

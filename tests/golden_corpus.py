@@ -79,6 +79,19 @@ def cases() -> dict:
         "ties256_x1": _round_robin(256, 1),
         "ties256_x17": _round_robin(256, 17),
         "ties100_x5": _round_robin(100, 5),
+        # equal-weight full alphabets at counts that force deep JOINT-node
+        # tie cascades (VERDICT r2 next #10): with every leaf weight equal,
+        # each merge level is an all-tie pop sequence among joints; non-
+        # power-of-two reps make joint weights tie with leaf weights too
+        "ties256_x2": _round_robin(256, 2),
+        "ties256_x3": _round_robin(256, 3),
+        "ties256_x5": _round_robin(256, 5),
+        "ties256_x255": _round_robin(256, 255),
+        # 255 equal + one heavier letter: the lone non-tie seeds asymmetric
+        # joint cascades through every level
+        "ties255_plus_heavy": np.concatenate(
+            [_round_robin(255, 4), np.full(9, 255, np.uint8)]
+        ),
         "fib12": _fib_weights(12),
         "fib24_deep": _fib_weights(24),
         "geometric16": np.concatenate(
@@ -116,7 +129,7 @@ def build_entry(name: str, data: np.ndarray, tmpdir: str) -> dict:
     read_compress_write(src, hff)
     read_compress_write_hf2(src, hf2, block_len=1024)
     hff_bytes = open(hff, "rb").read()
-    return {
+    entry = {
         "input_len": int(data.size),
         "input_sha256": _sha(data.tobytes()),
         "hff_sha256": _sha(hff_bytes),
@@ -124,6 +137,19 @@ def build_entry(name: str, data: np.ndarray, tmpdir: str) -> dict:
         "data_padding": hff_bytes[0] & 0x0F,
         "hf2_sha256": _sha(open(hf2, "rb").read()),
     }
+    # pinned --reindex output (VERDICT r2 next #10): the .hff -> .hf2
+    # transcoder copies payload bits verbatim, so its output is as frozen as
+    # the .hff itself.  Requires the native DFA indexer; test compares the
+    # key only when it could be produced.
+    try:
+        from tpuhuff.io import transcode_hff_to_hf2
+
+        rix = src + ".rix.hf2"
+        transcode_hff_to_hf2(hff, rix, block_len=4096)
+        entry["reindex_sha256"] = _sha(open(rix, "rb").read())
+    except RuntimeError:
+        pass  # no native runtime
+    return entry
 
 
 def main() -> None:

@@ -246,15 +246,36 @@ def compress_with_tree(
     return CompressData(payload, padding, huff_tree, ltype or _infer_ltype(letters))
 
 
-def _infer_ltype(letters) -> LetterType | str:
-    # best-effort: int letters default to u8-compatible widths only if they fit
-    try:
-        vals = [int(l) for l in letters]
-        if vals and all(0 <= v < 256 for v in vals):
-            return U8
-    except (TypeError, ValueError):
-        pass
-    return U8  # wire form only used when explicitly serialized
+def _infer_ltype(letters) -> LetterType:
+    """Smallest registered integer width covering every letter.
+
+    The reference's codec is statically typed over ``L``
+    (`comp.rs:353`, `letter.rs:57-60`); the runtime analogue is width
+    inference: unsigned letters pick u8/u16/u32/u64/u128, any negative
+    letter switches to the signed ladder.  Non-integer letters (char/str —
+    tree-only in the reference, `letter.rs:33-37`) keep the U8 default;
+    serializing such a tree raises the letter type's own ``TypeError``.
+    """
+    from .letters import I8, I16, I32, I64, I128, U16, U32, U64, U128
+
+    lo = hi = 0
+    for l in letters:
+        if isinstance(l, bool) or not isinstance(l, (int, np.integer)):
+            return U8  # no integer wire form; as_be_bytes raises if serialized
+        v = int(l)
+        lo = min(lo, v)
+        hi = max(hi, v)
+    ladder = (
+        (I8, I16, I32, I64, I128) if lo < 0 else (U8, U16, U32, U64, U128)
+    )
+    for lt in ladder:
+        lo_ok = lo >= (-(1 << (lt.size_bits - 1)) if lt.signed else 0)
+        hi_ok = hi < (1 << (lt.size_bits - 1) if lt.signed else 1 << lt.size_bits)
+        if lo_ok and hi_ok:
+            return lt
+    raise OverflowError(
+        f"letters span [{lo}, {hi}], wider than any registered letter type"
+    )
 
 
 def decompress(comp_data: CompressData) -> Union[bytes, List[Hashable]]:

@@ -86,8 +86,15 @@ class Hf2Header:
 def hf2_table_width(block_len: int, max_code_len: int) -> int:
     """Block-table entry width from the static bound on per-block bit length
     (``block_len * max_code_len``) — computable BEFORE pass 2, so the
-    streaming writer can reserve the table and patch it incrementally."""
-    bound = block_len * max(max_code_len, 1)
+    streaming writer can reserve the table and patch it incrementally.
+
+    The bound carries ``max_code_len + 7`` bits of headroom: the
+    ``.hff -> .hf2`` transcoder may attribute a malformed source's trailing
+    partial code plus byte padding to the final block, and the entry width
+    must hold that worst case too (no silent ``astype`` wrap — see also the
+    hard guard in :func:`write_hf2_table_slice`)."""
+    ml = max(max_code_len, 1)
+    bound = block_len * ml + ml + 7
     return 2 if bound < (1 << 16) else 4 if bound < (1 << 32) else 8
 
 
@@ -130,11 +137,19 @@ def write_hf2_table_slice(
     fp: BinaryIO, table_offset: int, width: int, first_block: int,
     bit_lens: np.ndarray,
 ) -> None:
-    """Patch per-block bit lengths for blocks ``first_block..`` in place."""
+    """Patch per-block bit lengths for blocks ``first_block..`` in place.
+
+    Raises ``OverflowError`` if any length exceeds the entry width — a
+    corrupt index must never be written silently."""
+    lens = np.ascontiguousarray(bit_lens, dtype=np.uint64)
+    if lens.size and width < 8 and int(lens.max()) >= (1 << (8 * width)):
+        raise OverflowError(
+            f"hf2 block bit length {int(lens.max())} does not fit the "
+            f"{width}-byte table entry"
+        )
     pos = fp.tell()
     fp.seek(table_offset + width * first_block)
-    fp.write(np.ascontiguousarray(bit_lens, dtype=np.uint64)
-             .astype(f">u{width}").tobytes())
+    fp.write(lens.astype(f">u{width}").tobytes())
     fp.seek(pos)
 
 

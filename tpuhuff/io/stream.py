@@ -71,6 +71,18 @@ def _native():
         return None
 
 
+def _now() -> float:
+    import time
+
+    return time.perf_counter()
+
+
+def _record_call(stats: dict | None, dt: float) -> None:
+    """Append one device-call wall time for compile/steady-state separation."""
+    if stats is not None:
+        stats.setdefault("device_call_s", []).append(dt)
+
+
 def huff_tree_from_stream(fp: BinaryIO, size: int, block_size: int) -> HuffTree:
     """Pass 1: histogram the whole stream, build the file tree
     (`huff/src/comp.rs:161-172`)."""
@@ -144,9 +156,14 @@ class _BitSink:
 
 def read_compress_write(
     src_path: str, dst_path: str, block_size: int = DEFAULT_BLOCK,
-    device: bool = False, timer=None,
+    device: bool = False, timer=None, stats: dict | None = None,
 ) -> None:
-    """Compress ``src`` into ``dst`` as ``.hff`` (`huff/src/comp.rs:32-74`)."""
+    """Compress ``src`` into ``dst`` as ``.hff`` (`huff/src/comp.rs:32-74`).
+
+    ``stats``: optional dict; device runs append each device-call wall time
+    to ``stats["device_call_s"]`` so callers (CLI ``--stats``) can separate
+    one-time JIT compile cost from steady-state throughput.
+    """
     from ..profiling import StageTimer
 
     timer = timer if timer is not None else StageTimer()
@@ -177,8 +194,10 @@ def read_compress_write(
                 if enc is not None:
                     # multi-chunk streams pad the ragged tail to the full
                     # chunk shape so it reuses the body's compile
+                    t0 = _now()
                     payload, nbits = enc(
                         data, pad_to_bytes=step if size > step else None)
+                    _record_call(stats, _now() - t0)
                 else:
                     payload, nbits = _encode_chunk(data, lens_lut, codes_lut, nat)
             with timer.stage("write", (nbits + 7) // 8):
@@ -457,7 +476,7 @@ def _device_block_encoder(tree: HuffTree, block_len: int):
 def read_compress_write_hf2(
     src_path: str, dst_path: str, block_len: int | None = None,
     device: bool = False, canonical: bool = True,
-    chunk_bytes: int | None = None,
+    chunk_bytes: int | None = None, stats: dict | None = None,
 ) -> None:
     """Compress into the block-indexed ``.hf2`` container — STREAMING.
 
@@ -524,7 +543,9 @@ def read_compress_write_hf2(
                 # multi-chunk: tail padded to the body's block count so it
                 # reuses the same compiled program (padding blocks emit 0)
                 nb_enc = max(1, step // block_len) if size > step else nb
+                t0 = _now()
                 payload, nbits, bit_lens = enc(data, nb_enc)
+                _record_call(stats, _now() - t0)
                 bit_lens = bit_lens[:nb]
             else:
                 payload, nbits, bit_lens = _encode_block_group(
@@ -605,8 +626,11 @@ def transcode_hff_to_hf2(
                 [boundaries, [np.uint64(total_bits)]]
             ).astype(np.uint64)
         else:
+            # absorb trailing bits (byte padding, plus a malformed source's
+            # partial final code) into the last block: <= (ml-1) + 7 extra
+            # bits, which hf2_table_width's headroom accounts for
             end_bits = boundaries
-            end_bits[-1] = total_bits  # absorb any trailing padding bits
+            end_bits[-1] = total_bits
         n_blocks = max(end_bits.size, 1)
         lens_lut, _ = tree.encode_tables()
         ml = int(np.asarray(lens_lut).max(initial=1))
@@ -634,6 +658,7 @@ def transcode_hff_to_hf2(
 def read_decompress_write_hf2(
     src_path: str, dst_path: str, threads: Optional[int] = None,
     device: bool = False, chunk_bytes: int | None = None,
+    stats: dict | None = None,
 ) -> None:
     """Parallel decode of ``.hf2`` via the block index — STREAMING.
 
@@ -659,11 +684,12 @@ def read_decompress_write_hf2(
         ends = hdr.end_bits.astype(np.uint64)
         starts = np.concatenate([[np.uint64(0)], ends[:-1]])
         B = hdr.num_blocks
-        if device and hdr.block_len > 2048 and _native() is not None:
+        if device and hdr.block_len > 2048:
             # big-block containers (host-written .hf2) would force a
             # block_len-step sequential scan per lane on device — the
-            # threaded DFA is the right engine for those; device decode
-            # shines at the device writer's small blocks
+            # threaded DFA is the right engine for those (or, without the
+            # native runtime, the resumable python DFA below); device
+            # decode shines at the device writer's small blocks
             device = False
         nat = None if device else _native()
         if not device and nat is None:
@@ -720,6 +746,7 @@ def read_decompress_write_hf2(
                     decode_rows_device, payload_to_lane_words,
                 )
 
+                t0 = _now()
                 rows, bit0 = payload_to_lane_words(buf, ls.astype(np.int64),
                                                    le.astype(np.int64),
                                                    hdr.block_len)
@@ -735,6 +762,7 @@ def read_decompress_write_hf2(
                 nbits_p[:nb] = (le - ls).astype(np.int32)
                 out = decode_rows_device(rows_p, bit0_p, nbits_p,
                                          hdr.tree, hdr.block_len)[:nb]
+                _record_call(stats, _now() - t0)
                 if caps[-1] != hdr.block_len:
                     dst.write(out[:-1].tobytes())
                     dst.write(out[-1, : int(caps[-1])].tobytes())

@@ -173,125 +173,11 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
     bits_ref[:] = alen[0:1]
 
 
-def _merge_kernel(x_ref, len_ref, words_ref, bits_ref, *, N: int, ML: int):
-    """v3 kernel: VMEM doubling merge ONLY.
-
-    The symbol LUT + in-u32 pair merge run in XLA (whose fused elementwise
-    select trees measured ~3x faster than the same ladder in Mosaic —
-    instruction-overhead-bound there); the kernel receives pair-merged
-    left-aligned bit-strings ``x`` (rows, 128) u32 with lengths ``len`` and
-    does the log2(N)-1 width-bounded merge levels that XLA cannot keep in
-    VMEM (its merge is HBM-pass-bound, sessions 5-9).
-    """
-    x = x_ref[:].astype(jnp.uint32)
-    alen = len_ref[:]
-    rows = x.shape[0]
-    W, gsyms = 1, 2
-    while gsyms < N:
-        rowv = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-        is_b = ((rowv >> (W.bit_length() - 1)) & 1) == 1
-        a_len = jnp.where(is_b, _roll_down(alen, W), alen)
-        b_len = jnp.where(is_b, alen, _roll_up(alen, W))
-        u = 32 * W - a_len  # bits to move the B half up by
-        frame = jnp.where(is_b, x, jnp.uint32(0))
-        bA = min(ML * gsyms, 32 * W)  # static bound on a_len
-        qmin = (32 * W - bA) >> 5
-        if qmin:
-            frame = _roll_up_masked(frame, qmin, 2 * W)
-        qrem = (u >> 5) - qmin  # in [0, W - qmin]
-        qrange = W - qmin
-        bit = 0
-        s = 1
-        while s <= qrange:
-            rolled = _roll_up_masked(frame, s, 2 * W)
-            frame = jnp.where(((qrem >> bit) & 1) == 1, rolled, frame)
-            s *= 2
-            bit += 1
-        rb = (u & 31).astype(jnp.uint32)
-        nxt = _roll_up_masked(frame, 1, 2 * W)
-        frame = jnp.where(
-            rb == 0, frame,
-            (frame << rb) | (nxt >> ((jnp.uint32(32) - rb) & 31)),
-        )
-        x = jnp.where(is_b, jnp.uint32(0), x) | frame
-        alen = a_len + b_len
-        W *= 2
-        gsyms *= 2
-    words_ref[:] = x
-    bits_ref[:] = alen[0:1]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("n_syms", "max_len", "interpret")
-)
-def _merge_call(x_t, len_t, n_syms, max_len, interpret):
-    rows, B = x_t.shape
-    kernel = functools.partial(_merge_kernel, N=n_syms, ML=max_len)
-    return pl.pallas_call(
-        kernel,
-        grid=(B // LANES,),
-        in_specs=[
-            pl.BlockSpec((rows, LANES), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, LANES), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((rows, lanes), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, B), jnp.uint32),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
-        ],
-        interpret=interpret,
-    )(x_t, len_t)
-
-
-def encode_blocks_pallas3(
-    data: jnp.ndarray,
-    canon_tables,
-    max_len: int,
-    valid_lens: jnp.ndarray | None = None,
-    interpret: bool = False,
-    full_alphabet: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Hybrid v3 encoder: XLA canonical-ladder LUT + elementwise pair merge
-    feed the merge-only VMEM kernel.  Bit-identical to v2/XLA; measured
-    faster on v5e (the ladder runs ~3x faster as fused XLA elementwise ops
-    than inside Mosaic, and the merge stays VMEM-resident).
-    """
-    from .encode import lut_canonical
-
-    if data.ndim == 1:
-        data = data[None, :]
-    B, N = data.shape
-    assert N & (N - 1) == 0 and N >= 2
-    Bp = -(-B // LANES) * LANES
-    if Bp != B:
-        data = jnp.pad(data, ((0, Bp - B), (0, 0)))
-        if valid_lens is not None:
-            valid_lens = jnp.pad(valid_lens, (0, Bp - B))
-        else:
-            valid_lens = jnp.concatenate(
-                [jnp.full(B, N, jnp.int32), jnp.zeros(Bp - B, jnp.int32)]
-            )
-    inv4, pres, cumle, dd = canon_tables
-    ln, acode = lut_canonical(data.astype(jnp.int32), jnp.asarray(inv4),
-                              jnp.asarray(pres), jnp.asarray(cumle),
-                              jnp.asarray(dd), int(max_len),
-                              bool(full_alphabet))
-    if valid_lens is not None:
-        mask = jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None]
-        ln = jnp.where(mask, ln, 0)
-        acode = jnp.where(mask, acode, jnp.uint32(0))
-    l0, l1 = ln[:, 0::2], ln[:, 1::2]
-    x = acode[:, 0::2] | (acode[:, 1::2] >> l0.astype(jnp.uint32))
-    words_t, bits_t = _merge_call(x.T, (l0 + l1).T, int(N), int(max_len),
-                                  bool(interpret))
-    return words_t.T[:B], bits_t[0, :B]
+# NOTE: the v3 hybrid encoder (XLA ladder LUT + a merge-only VMEM kernel,
+# `encode_blocks_pallas3`) was removed: it was a documented negative result
+# (the XLA ladder front alone measured 1.53 ms vs 1.60 ms for the whole v2
+# kernel — PERF_NOTES.md round 2) and its merge-only pallas_call had rotted
+# (undefined `lanes` in out_specs).  v2 below is the production kernel.
 
 
 def _roll_up(x, s):
