@@ -198,6 +198,11 @@ def _roll_down(x, s):
 )
 def _encode_call(data_t, valid_t, inv4, pres, cumle, dd, n_syms, max_len,
                  halved, interpret, full=False):
+    """Flat layout: operands are (rows, B) with blocks across the lane dim.
+
+    Each grid cell's tile is a strided column slab of the global array;
+    kept for A/B measurement (``TPUHUFF_ENC_CELL=0``) — the cell-major
+    variant below is the production path."""
     rows, B = data_t.shape
     lanes = CELL_LANES if B % CELL_LANES == 0 else LANES
     kernel = functools.partial(
@@ -230,11 +235,59 @@ def _encode_call(data_t, valid_t, inv4, pres, cumle, dd, n_syms, max_len,
     )(data_t, valid_t, inv4, pres, cumle, dd)
 
 
-def pack_pairs(data: jnp.ndarray) -> jnp.ndarray:
-    """(B, N) uint8 -> (N/2, B) int32 with ``sym(2r) | sym(2r+1) << 8``.
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_syms", "max_len", "halved", "interpret", "full",
+                     "lanes"),
+)
+def _encode_call_cells(data_g, valid_g, inv4, pres, cumle, dd, n_syms,
+                       max_len, halved, interpret, full, lanes):
+    """Cell-major layout: operands are (cells*rows, lanes) with each grid
+    cell's tile CONTIGUOUS in HBM (row index ``i*rows..``), mirroring the
+    decode kernel's layout.
 
-    Runs in XLA (strided slices are native there; inside Mosaic they lower
-    to an unsupported gather) — this is the kernel-input layout transform.
+    The flat layout's per-cell tiles are strided column slabs of a
+    (rows, B) array whose stride grows with B — both the XLA transpose
+    producing it and the per-cell DMA degrade superlinearly beyond ~16 MiB
+    (PERF_NOTES r2 "Size scaling": encode e2e 8.2 -> 6.9 GB/s at 64 MiB
+    while the kernel stays near-linear).  Cell-major keeps every layout
+    transform a batched fixed-shape (lanes, rows) transpose and every DMA
+    contiguous, so throughput is size-invariant (VERDICT r2 next #1)."""
+    rows = data_g.shape[0] // (valid_g.shape[0])
+    cells = valid_g.shape[0]
+    kernel = functools.partial(
+        _encode_kernel, N=n_syms, ML=max_len, halved=halved, full=full
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((rows, lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cells * rows, lanes), jnp.uint32),
+            jax.ShapeDtypeStruct((cells, lanes), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data_g, valid_g, inv4, pres, cumle, dd)
+
+
+def _pack_pairs_2d(data: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) uint8 -> (B, N/2) int32 with ``sym(2r) | sym(2r+1) << 8``.
+
     u32 bitcast + halfword split instead of u8 strided slices: the byte
     quads load as one little-endian word (``b0 | b1<<8 | b2<<16 | b3<<24``),
     whose low/high halves ARE the two packed pairs — no sub-u32 strided
@@ -243,12 +296,50 @@ def pack_pairs(data: jnp.ndarray) -> jnp.ndarray:
     B, N = data.shape
     if N % 4:
         d = data.astype(jnp.int32)
-        return (d[:, 0::2] | (d[:, 1::2] << 8)).T
+        return d[:, 0::2] | (d[:, 1::2] << 8)
     w = jax.lax.bitcast_convert_type(
         data.reshape(B, N // 4, 4), jnp.uint32
     )
     pairs = jnp.stack([w & 0xFFFF, w >> 16], axis=-1).reshape(B, N // 2)
-    return pairs.astype(jnp.int32).T
+    return pairs.astype(jnp.int32)
+
+
+def pack_pairs(data: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) uint8 -> (N/2, B) int32 packed pairs (flat kernel layout).
+
+    Runs in XLA (strided slices are native there; inside Mosaic they lower
+    to an unsupported gather) — this is the kernel-input layout transform
+    for the flat path.  The global (B, N/2) -> (N/2, B) transpose here is
+    what degrades superlinearly with B; the cell-major path uses
+    :func:`_to_cells` instead.
+    """
+    return _pack_pairs_2d(data).T
+
+
+def _to_cells(x2d: jnp.ndarray, lanes: int) -> jnp.ndarray:
+    """(B, rows) -> (cells*rows, lanes): batched fixed-shape transposes.
+
+    Cell c's tile occupies rows ``c*rows..(c+1)*rows`` — contiguous in HBM,
+    matching ``_encode_call_cells``'s index map.  Every transpose is a
+    (lanes, rows) tile, so XLA's transpose tiling cost is size-invariant.
+    """
+    B, rows = x2d.shape
+    cells = B // lanes
+    return (
+        x2d.reshape(cells, lanes, rows)
+        .transpose(0, 2, 1)
+        .reshape(cells * rows, lanes)
+    )
+
+
+def _from_cells(x_g: jnp.ndarray, rows: int, lanes: int) -> jnp.ndarray:
+    """Inverse of :func:`_to_cells`: (cells*rows, lanes) -> (B, rows)."""
+    cells = x_g.shape[0] // rows
+    return (
+        x_g.reshape(cells, rows, lanes)
+        .transpose(0, 2, 1)
+        .reshape(cells * lanes, rows)
+    )
 
 
 def encode_blocks_pallas2(
@@ -282,9 +373,6 @@ def encode_blocks_pallas2(
             )
     inv4, pres, cumle, dd = canon_tables
     halved = 2 * max_len <= 32 and N >= 2
-    data_t = pack_pairs(data) if halved else data.T.astype(jnp.int32)
-    valid_t = (jnp.full((1, Bp), N, jnp.int32) if valid_lens is None
-               else valid_lens.astype(jnp.int32)[None, :])
     inv4 = jnp.asarray(inv4, jnp.uint32).reshape(1, 64)
     pres = jnp.asarray(pres, jnp.uint32).reshape(1, 8)
     # .size is static even on tracers (encode_blocks calls this inside jit)
@@ -292,7 +380,24 @@ def encode_blocks_pallas2(
         jnp.asarray(cumle, jnp.int32))
     dd32 = jnp.zeros((1, 32), jnp.int32).at[0, : dd.size].set(
         jnp.asarray(dd, jnp.int32))
-    words_t, bits_t = _encode_call(data_t, valid_t, inv4, pres, cumle32,
-                                   dd32, int(N), int(max_len), halved,
-                                   bool(interpret), bool(full_alphabet))
+    valid_row = (jnp.full(Bp, N, jnp.int32) if valid_lens is None
+                 else valid_lens.astype(jnp.int32))
+    if _os.environ.get("TPUHUFF_ENC_CELL", "1") != "0":
+        # production: cell-major layout (size-invariant transforms + DMA)
+        lanes = CELL_LANES if Bp % CELL_LANES == 0 else LANES
+        rows = N // 2 if halved else N
+        pairs = (_pack_pairs_2d(data) if halved
+                 else data.astype(jnp.int32))
+        data_g = _to_cells(pairs, lanes)
+        valid_g = valid_row.reshape(Bp // lanes, lanes)
+        words_g, bits_g = _encode_call_cells(
+            data_g, valid_g, inv4, pres, cumle32, dd32, int(N),
+            int(max_len), halved, bool(interpret), bool(full_alphabet),
+            int(lanes))
+        return _from_cells(words_g, rows, lanes)[:B], bits_g.reshape(Bp)[:B]
+    data_t = pack_pairs(data) if halved else data.T.astype(jnp.int32)
+    words_t, bits_t = _encode_call(data_t, valid_row[None, :], inv4, pres,
+                                   cumle32, dd32, int(N), int(max_len),
+                                   halved, bool(interpret),
+                                   bool(full_alphabet))
     return words_t.T[:B], bits_t[0, :B]
