@@ -38,7 +38,7 @@ import numpy as np
 
 PER_CHIP_BASELINE_GBPS = 10.0 / 8.0
 
-DATA_MB = int(os.environ.get("BENCH_MB", "16"))
+DATA_MB = int(os.environ.get("BENCH_MB", "100"))  # config-2 spec size
 CONTAINER_BLOCK = int(os.environ.get("BENCH_BLOCK", str(64 << 10)))  # config 2
 LANE = int(os.environ.get("BENCH_LANE", "256"))  # kernel lane (session 13)
 DEC_BLOCK = int(os.environ.get("BENCH_DEC_BLOCK", "256"))  # .hf2 device default
@@ -252,6 +252,13 @@ def main() -> None:
     except Exception as e:  # decode is informational; never fail the bench
         log(f"decode bench skipped: {type(e).__name__}: {e}")
 
+    # ---- file→file product paths (the reference's unit of work:
+    # /root/reference/huff/src/comp.rs:32-157) ----
+    try:
+        bench_files(extra)
+    except Exception as e:
+        log(f"file bench skipped: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "encode_throughput_1chip",
         "value": round(enc_gbps, 3),
@@ -259,6 +266,85 @@ def main() -> None:
         "vs_baseline": round(enc_gbps / PER_CHIP_BASELINE_GBPS, 3),
         "extra": extra,
     }))
+
+
+def bench_files(extra: dict) -> None:
+    """Measured end-to-end file→file GB/s on the product paths.
+
+    * host `.hf2`: threaded C++ encode + block-table write, threaded DFA
+      decode — the portable CPU path (`read_compress_write_hf2`).
+    * host `.hff`: the reference-format single-stream path.
+    * device `.hf2` (optional, BENCH_DEVICE_FILE=1): includes H2D upload,
+      kernel encode, stitch (`huffc_stitch_blocks`) and the in-place table
+      patch.  On this dev attachment the host↔device relay (~5-10 MB/s)
+      dominates — the number is honest for THIS rig, not a chip property.
+    """
+    import tempfile
+
+    from tpuhuff.io.stream import (
+        read_compress_write, read_compress_write_hf2,
+        read_decompress_write, read_decompress_write_hf2,
+    )
+
+    fmb = int(os.environ.get("BENCH_FILE_MB", "128"))
+    n = fmb << 20
+    data = make_textlike(n)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src.bin")
+        with open(src, "wb") as f:
+            f.write(data.tobytes())
+
+        def timed(fn, *a, **kw):
+            t0 = time.perf_counter()
+            fn(*a, **kw)
+            return time.perf_counter() - t0
+
+        hf2 = os.path.join(td, "a.hf2")
+        out2 = os.path.join(td, "a.out")
+        dt = timed(read_compress_write_hf2, src, hf2, device=False)
+        extra["file_compress_gbps"] = round(n / dt / 1e9, 3)
+        ratio = os.path.getsize(hf2) / n
+        extra["file_ratio"] = round(ratio, 4)
+        dt = timed(read_decompress_write_hf2, hf2, out2, device=False)
+        extra["file_decompress_gbps"] = round(n / dt / 1e9, 3)
+        with open(out2, "rb") as f:
+            assert f.read() == data.tobytes(), "hf2 file roundtrip mismatch"
+        log(f"file .hf2 host: compress {extra['file_compress_gbps']} GB/s, "
+            f"decompress {extra['file_decompress_gbps']} GB/s, "
+            f"ratio {ratio:.4f} ({fmb} MB)")
+
+        hff = os.path.join(td, "a.hff")
+        out1 = os.path.join(td, "b.out")
+        dt = timed(read_compress_write, src, hff)
+        extra["file_compress_hff_gbps"] = round(n / dt / 1e9, 3)
+        dt = timed(read_decompress_write, hff, out1)
+        extra["file_decompress_hff_gbps"] = round(n / dt / 1e9, 3)
+        with open(out1, "rb") as f:
+            assert f.read() == data.tobytes(), "hff file roundtrip mismatch"
+        log(f"file .hff host: compress {extra['file_compress_hff_gbps']} "
+            f"GB/s, decompress {extra['file_decompress_hff_gbps']} GB/s")
+
+        if os.environ.get("BENCH_DEVICE_FILE", "1") == "1":
+            dmb = int(os.environ.get("BENCH_DEVICE_FILE_MB", "16"))
+            dn = dmb << 20
+            dsrc = os.path.join(td, "d.bin")
+            with open(dsrc, "wb") as f:
+                f.write(data.tobytes()[:dn])
+            dhf2 = os.path.join(td, "d.hf2")
+            dout = os.path.join(td, "d.out")
+            dt = timed(read_compress_write_hf2, dsrc, dhf2, device=True)
+            extra["file_device_compress_gbps"] = round(dn / dt / 1e9, 3)
+            dt = timed(read_decompress_write_hf2, dhf2, dout, device=True)
+            extra["file_device_decompress_gbps"] = round(dn / dt / 1e9, 3)
+            with open(dout, "rb") as f:
+                assert f.read() == data.tobytes()[:dn], \
+                    "device file roundtrip mismatch"
+            extra["file_device_note"] = (
+                "includes H2D/D2H over the dev relay (~5-10 MB/s) — "
+                "rig-limited, not chip-limited")
+            log(f"file .hf2 device ({dmb} MB): compress "
+                f"{extra['file_device_compress_gbps']} GB/s, decompress "
+                f"{extra['file_device_decompress_gbps']} GB/s (relay-bound)")
 
 
 if __name__ == "__main__":

@@ -460,11 +460,15 @@ def _device_block_encoder(tree: HuffTree, block_len: int):
                 [lanes, np.zeros((pad_rows, lane), np.uint8)], axis=0)
             valid = np.concatenate([valid, np.zeros(pad_rows, np.int32)])
         jl, jv = jnp.asarray(lanes), jnp.asarray(valid)
-        if count_missing(jl, dl, jv):
+        # the missing-letter guard rides the encode program (free on the
+        # fused Pallas route, one fused LUT pass elsewhere) instead of a
+        # separate count_missing dispatch
+        words, bits, miss = encode_blocks(jl, dl, da, jv, max_code_len=ml,
+                                          canon_tables=canon_tabs,
+                                          full_alphabet=full_alpha,
+                                          with_miss=True)
+        if int(miss):
             raise CompressError("letter not found in codes", None)
-        words, bits = encode_blocks(jl, dl, da, jv, max_code_len=ml,
-                                    canon_tables=canon_tabs,
-                                    full_alphabet=full_alpha)
         bits_np = np.asarray(bits).astype(np.uint64)
         payload, pad = stitch_words(np.asarray(words), bits_np)
         bit_lens = bits_np.reshape(nb, L).sum(axis=1)

@@ -389,7 +389,7 @@ def _auto_pallas(pallas):
     jax.jit,
     static_argnames=(
         "block_len", "gather_free", "max_code_len", "transposed", "pallas",
-        "full_alphabet",
+        "full_alphabet", "with_miss",
     ),
 )
 def encode_blocks(
@@ -402,7 +402,8 @@ def encode_blocks(
     canon_tables=None,
     pallas: bool | None = None,
     full_alphabet: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_miss: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Pack blocks of bytes into Huffman bitstreams.
 
     ``data``: (B, N) uint8 with N a power of two.  ``valid_lens`` (B,) marks
@@ -426,6 +427,11 @@ def encode_blocks(
     TPU when the tables and the ``2*max_code_len <= 32`` pair-merge bound
     allow it; bit-identical output (words array may be a different width —
     always index by the returned bit lengths).
+    ``with_miss=True`` additionally returns the total count of valid bytes
+    with no code as a third array — on the fused Pallas route it rides the
+    encode kernel for free; elsewhere it adds one LUT pass *inside the same
+    program* (still one dispatch, unlike a separate
+    :func:`count_missing` call).
     """
     if data.ndim == 1:
         data = data[None, :]
@@ -443,7 +449,7 @@ def encode_blocks(
         and 2 * mb <= 32
         and 2 <= N <= PALLAS_MAX_BLOCK
     ):
-        from .pallas_encode2 import encode_blocks_pallas2
+        from .pallas_encode2 import encode_blocks_pallas2, fused_layout_ok
 
         try:
             on_tpu = jax.default_backend() == "tpu"
@@ -451,9 +457,15 @@ def encode_blocks(
             on_tpu = False
         # off-TPU an explicit pallas request runs the interpreter (Mosaic
         # only lowers for real TPUs); bit-identical, correctness-only speed
+        if with_miss and not fused_layout_ok(N, mb):
+            w, b = encode_blocks_pallas2(data, canon_tables, mb, valid_lens,
+                                         interpret=not on_tpu,
+                                         full_alphabet=full_alphabet)
+            return w, b, _miss_inline(data, lens_lut, valid_lens, gf)
         return encode_blocks_pallas2(data, canon_tables, mb, valid_lens,
                                      interpret=not on_tpu,
-                                     full_alphabet=full_alphabet)
+                                     full_alphabet=full_alphabet,
+                                     with_miss=with_miss)
 
     def lookup(d2):
         if canon_tables is not None:
@@ -475,6 +487,9 @@ def encode_blocks(
             vals, cur = _merge_level_t(vals, cur, mb)
             if mb is not None:
                 mb = min(2 * mb, 32 * vals.shape[1])
+        if with_miss:
+            return vals[0].T, cur[0], _miss_inline(data, lens_lut,
+                                                   valid_lens, gf)
         return vals[0].T, cur[0]
     lens, acodes = lookup(data)
     if valid_lens is not None:
@@ -487,7 +502,26 @@ def encode_blocks(
         vals, cur = _merge_level(vals, cur, mb)
         if mb is not None:
             mb = min(2 * mb, 32 * vals.shape[-1])
+    if with_miss:
+        return (vals[..., 0, :], cur[..., 0],
+                _miss_inline(data, lens_lut, valid_lens, gf))
     return vals[..., 0, :], cur[..., 0]
+
+
+def _miss_inline(data, lens_lut, valid_lens, gather_free: bool):
+    """Missing-letter count traced inline into the caller's program."""
+    idx = data.astype(jnp.int32)
+    lens = lut_lens(idx, lens_lut) if gather_free else jnp.take(
+        lens_lut, idx, axis=0
+    )
+    miss = (lens == 0).astype(jnp.int32)
+    if valid_lens is not None:
+        N = data.shape[-1]
+        miss = jnp.where(
+            jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None],
+            miss, 0,
+        )
+    return jnp.sum(miss)
 
 
 @functools.partial(jax.jit, static_argnames=("gather_free",))

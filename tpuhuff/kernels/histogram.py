@@ -35,10 +35,13 @@ _CHUNK = 1 << 22
 def _hist_chunk(chunk: jnp.ndarray) -> jnp.ndarray:
     """(n,) uint8 -> (256,) int32 via the nibble outer product.
 
-    bfloat16 one-hots: int8 operands were tried (half the materialized
-    HBM) but measured 1.19 ms vs bf16's 0.71 ms for 16 MiB on v5e — the
-    i8 MXU path tiles poorly at K=16.  f32 accumulation is exact for the
-    0/1 one-hots below 2^24 per tile, guaranteed by ``_CHUNK``.
+    Operand dtype does NOT matter here: r3 measured bf16, int8/f32-acc and
+    int8/i32-acc all at ~4.0 ms / 16 MiB standalone — the cost is the HBM
+    materialization of the dot operands, not the MXU pass.  (This corrects
+    r2's contradictory notes of 0.35 ms vs 1.19 ms for int8.)  f32
+    accumulation is exact for 0/1 one-hots below 2^24 per tile, guaranteed
+    by ``_CHUNK``.  The real fix is the Pallas kernel
+    (`pallas_histogram.py`), which keeps operands in VMEM.
     """
     hi = (chunk >> 4).astype(jnp.int32)
     lo = (chunk & 15).astype(jnp.int32)
@@ -50,8 +53,8 @@ def _hist_chunk(chunk: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def histogram(data: jnp.ndarray) -> jnp.ndarray:
-    """(..., n) uint8 -> (256,) int32 histogram over all elements."""
+def histogram_xla(data: jnp.ndarray) -> jnp.ndarray:
+    """(..., n) uint8 -> (256,) int32 histogram, XLA one-hot matmul path."""
     flat = data.reshape(-1)
     n = flat.shape[0]
     if n <= _CHUNK:
@@ -62,6 +65,32 @@ def histogram(data: jnp.ndarray) -> jnp.ndarray:
     hists = jax.vmap(_hist_chunk)(padded.reshape(n_chunks, _CHUNK))
     total = jnp.sum(hists, axis=0)
     return total.at[0].add(-(n_chunks * _CHUNK - n))
+
+
+@jax.jit
+def histogram(data: jnp.ndarray) -> jnp.ndarray:
+    """(..., n) uint8 -> (256,) int32 histogram over all elements.
+
+    On TPU, large inputs take the Pallas grouped one-hot kernel
+    (:mod:`tpuhuff.kernels.pallas_histogram`, ~2-6x this module's XLA
+    matmul — the XLA dot must materialize its one-hot operands in HBM);
+    elsewhere, and for small inputs, the XLA path.  Both are exact.
+    """
+    n = int(np_size(data))
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from .pallas_histogram import PALLAS_HIST_MIN_BYTES, histogram_pallas
+
+        if n >= PALLAS_HIST_MIN_BYTES:
+            return histogram_pallas(data)
+    return histogram_xla(data)
+
+
+def np_size(x) -> int:
+    return int(x.size) if hasattr(x, "size") else len(x)
 
 
 def histogram_u32(data: jnp.ndarray) -> jnp.ndarray:

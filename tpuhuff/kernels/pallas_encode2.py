@@ -110,7 +110,10 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
     d = data_ref[:]  # (rows, lanes) int32: one byte, or a packed pair
     rows, lanes = d.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-    valid = valid_ref[:]
+    # flat layout passes a (1, lanes) valid row; cell-major replicates it to
+    # 8 sublanes (TPU block shapes need sublanes divisible by 8) — row 0 is
+    # the real data either way
+    valid = valid_ref[0:1, :]
 
     if halved:
         # ---- fused LUT on both bytes + pair merge inside one u32 ----
@@ -137,7 +140,76 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
                           dd_ref, ML, full)
         W, gsyms = 1, 1
 
-    # ---- doubling levels with width-bounded shift trees ----
+    x, alen = _merge_levels(x, alen, N, ML, W, gsyms)
+    words_ref[:] = x
+    bits_ref[:] = jnp.broadcast_to(alen[0:1], bits_ref.shape)
+
+
+def _encode_kernel_fused(w_ref, valid_ref, pa_ref, pb_ref, inv4_ref,
+                         pres_ref, cumle_ref, dd_ref, words_ref, bits_ref,
+                         miss_ref, *, N: int, ML: int, full: bool):
+    """Natural-input variant: the cell's bytes arrive as the raw stream
+    (128 blocks x N/4 u32 little-endian words) and the packed-pair LAYOUT
+    happens *inside* the kernel as four constant-permutation NT matmuls —
+    no XLA transpose pass at all (r3 probes: the XLA pack/transpose was the
+    size-superlinear cost, while the perm-dot runs at ~160 GB/s).
+
+    ``pa/pb``: the two (N/2, N/4) halves of the perfect-shuffle matrix
+    PI[r, src(r)] = 1, src(r) = (r>>1) + (N/4)*(r&1), as bfloat16 — one-hot
+    rows select u32 halfwords exactly (byte values <= 255 are exact in
+    bf16, single-term dot products, f32 accumulation).
+
+    Also emits ``miss``: the per-cell count of valid bytes with no code
+    (the reference's per-letter CompressError, `comp.rs:427-432`) — free
+    here, replacing the separate ``count_missing`` device pass.
+    """
+    w = w_ref[:]  # (128, N/4) u32: sublane = block lane, lane = word index
+    dt = pa_ref.dtype
+    u0 = (w & 0xFF).astype(jnp.int32).astype(dt)
+    u1 = ((w >> 8) & 0xFF).astype(jnp.int32).astype(dt)
+    u2 = ((w >> 16) & 0xFF).astype(jnp.int32).astype(dt)
+    u3 = (w >> 24).astype(jnp.int32).astype(dt)
+    nt = (((1,), (1,)), ((), ()))
+    b0 = (jax.lax.dot_general(pa_ref[:], u0, nt,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(pb_ref[:], u2, nt,
+                                preferred_element_type=jnp.float32)
+          ).astype(jnp.int32)
+    b1 = (jax.lax.dot_general(pa_ref[:], u1, nt,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(pb_ref[:], u3, nt,
+                                preferred_element_type=jnp.float32)
+          ).astype(jnp.int32)
+    rows, lanes = b0.shape  # (N/2, 128)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    valid = valid_ref[0:1, :]
+    x0, l0 = _ladder(b0, 2 * row, valid, inv4_ref, pres_ref,
+                     cumle_ref, dd_ref, ML, full)
+    x1, l1 = _ladder(b1, 2 * row + 1, valid, inv4_ref, pres_ref,
+                     cumle_ref, dd_ref, ML, full)
+    miss = ((l0 == 0) & (2 * row < valid)).astype(jnp.int32) + (
+        (l1 == 0) & (2 * row + 1 < valid)).astype(jnp.int32)
+    miss_ref[:] = jnp.broadcast_to(
+        jnp.sum(miss, axis=0, keepdims=True), miss_ref.shape)
+    x = x0 | (x1 >> l0.astype(jnp.uint32))
+    alen = l0 + l1
+    x, alen = _merge_levels(x, alen, N, ML, 1, 2)
+    # a block's stream is <= ML*N bits, so only the first ceil(ML*N/32)
+    # word rows can be nonzero — the out spec is bounded to R rows
+    # (_fused_out_rows), saving up to ~45% of the output HBM write
+    words_ref[:] = x[: words_ref.shape[0]]
+    bits_ref[:] = jnp.broadcast_to(alen[0:1], bits_ref.shape)
+
+
+def _fused_out_rows(N: int, ML: int) -> int:
+    """Static word-row bound for the fused kernel's output block."""
+    need = (ML * N + 31) // 32
+    return min(N // 2, -(-need // 8) * 8)  # 8-sublane granularity
+
+
+def _merge_levels(x, alen, N: int, ML: int, W: int, gsyms: int):
+    """Doubling bit-merge levels with width-bounded shift trees."""
+    rows, lanes = x.shape
     while gsyms < N:
         rowv = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
         is_b = ((rowv >> (W.bit_length() - 1)) & 1) == 1
@@ -168,9 +240,7 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
         alen = a_len + b_len
         W *= 2
         gsyms *= 2
-
-    words_ref[:] = x
-    bits_ref[:] = alen[0:1]
+    return x, alen
 
 
 # NOTE: the v3 hybrid encoder (XLA ladder LUT + a merge-only VMEM kernel,
@@ -235,6 +305,81 @@ def _encode_call(data_t, valid_t, inv4, pres, cumle, dd, n_syms, max_len,
     )(data_t, valid_t, inv4, pres, cumle, dd)
 
 
+def fused_layout_ok(N: int, max_len: int) -> bool:
+    """True when :func:`encode_blocks_pallas2` will take the fused-input
+    (raw-stream, in-kernel layout) route for these static parameters."""
+    layout = _os.environ.get("TPUHUFF_ENC_LAYOUT", "fused")
+    if _os.environ.get("TPUHUFF_ENC_CELL", "1") == "0":
+        layout = "flat"
+    halved = 2 * max_len <= 32 and N >= 2
+    return layout == "fused" and halved and N % 4 == 0 and N >= 8
+
+
+@functools.lru_cache(maxsize=16)
+def _perm_halves_np(n_words: int):
+    """(2*n_words, n_words) halves of the perfect-shuffle matrix: the byte
+    plane of pair row r comes from word src(r) = (r>>1) + n_words*(r&1)."""
+    r = np.arange(2 * n_words)
+    src = (r >> 1) + n_words * (r & 1)
+    pi = np.zeros((2 * n_words, 2 * n_words), np.float32)
+    pi[r, src] = 1.0
+    return pi[:, :n_words], pi[:, n_words:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_syms", "max_len", "interpret", "full"),
+)
+def _encode_call_fused(words_nat, valid_g, inv4, pres, cumle, dd, n_syms,
+                       max_len, interpret, full):
+    """Fused-input path: ``words_nat`` (cells*128, N/4) u32 is the raw byte
+    stream (pure bitcast+reshape — zero XLA layout work); each grid cell
+    reads its 128 blocks' natural words and performs the pair layout
+    in-kernel via the perm matmuls (see ``_encode_kernel_fused``)."""
+    N = n_syms
+    nw = N // 4
+    rows = N // 2
+    R = _fused_out_rows(N, max_len)
+    cells = words_nat.shape[0] // 128
+    pa, pb = _perm_halves_np(nw)
+    kernel = functools.partial(
+        _encode_kernel_fused, N=N, ML=max_len, full=full
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((128, nw), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, nw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, nw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cells * R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((cells * 8, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((cells * 8, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(words_nat, valid_g,
+      jnp.asarray(pa, jnp.bfloat16), jnp.asarray(pb, jnp.bfloat16),
+      inv4, pres, cumle, dd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_syms", "max_len", "halved", "interpret", "full",
@@ -253,18 +398,22 @@ def _encode_call_cells(data_g, valid_g, inv4, pres, cumle, dd, n_syms,
     while the kernel stays near-linear).  Cell-major keeps every layout
     transform a batched fixed-shape (lanes, rows) transpose and every DMA
     contiguous, so throughput is size-invariant (VERDICT r2 next #1)."""
-    rows = data_g.shape[0] // (valid_g.shape[0])
-    cells = valid_g.shape[0]
+    cells = valid_g.shape[0] // 8
+    rows = data_g.shape[0] // cells
     kernel = functools.partial(
         _encode_kernel, N=n_syms, ML=max_len, halved=halved, full=full
     )
+    # per-cell (1, lanes) blocks violate the TPU tiling rule (sublane block
+    # dim must divide by 8 or equal the array dim), so the valid row arrives
+    # replicated to 8 sublanes and the bits output writes an (8, lanes)
+    # block whose rows are all copies — callers read row 0
     return pl.pallas_call(
         kernel,
         grid=(cells,),
         in_specs=[
             pl.BlockSpec((rows, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (i, 0),
+            pl.BlockSpec((8, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -274,12 +423,12 @@ def _encode_call_cells(data_g, valid_g, inv4, pres, cumle, dd, n_syms,
         out_specs=[
             pl.BlockSpec((rows, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (i, 0),
+            pl.BlockSpec((8, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((cells * rows, lanes), jnp.uint32),
-            jax.ShapeDtypeStruct((cells, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((cells * 8, lanes), jnp.int32),
         ],
         interpret=interpret,
     )(data_g, valid_g, inv4, pres, cumle, dd)
@@ -349,7 +498,8 @@ def encode_blocks_pallas2(
     valid_lens: jnp.ndarray | None = None,
     interpret: bool = False,
     full_alphabet: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_miss: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Encode (B, N) uint8 blocks with the fused canonical Pallas kernel.
 
     ``canon_tables`` = the four arrays from
@@ -357,6 +507,13 @@ def encode_blocks_pallas2(
     present, cumle, dd); ``max_len`` their static ladder bound.  Returns
     ``(words (B, W) u32, bits (B,) i32)`` — bit-identical to
     :func:`tpuhuff.kernels.encode.encode_blocks`.
+
+    Layouts (``TPUHUFF_ENC_LAYOUT``): ``fused`` (default — raw-stream
+    input, pair layout done in-kernel by perm matmuls; requires the halved
+    pair-merge mode), ``cell`` / ``flat`` (XLA-side layout; A/B baselines).
+    ``with_miss=True`` (fused layout only) additionally returns the total
+    count of valid input bytes with no code — the encode-time analogue of
+    :func:`tpuhuff.kernels.encode.count_missing` at zero extra passes.
     """
     if data.ndim == 1:
         data = data[None, :]
@@ -382,19 +539,49 @@ def encode_blocks_pallas2(
         jnp.asarray(dd, jnp.int32))
     valid_row = (jnp.full(Bp, N, jnp.int32) if valid_lens is None
                  else valid_lens.astype(jnp.int32))
-    if _os.environ.get("TPUHUFF_ENC_CELL", "1") != "0":
-        # production: cell-major layout (size-invariant transforms + DMA)
+    layout = _os.environ.get("TPUHUFF_ENC_LAYOUT", "fused")
+    if _os.environ.get("TPUHUFF_ENC_CELL", "1") == "0":
+        layout = "flat"  # legacy A/B switch
+    fused_ok = fused_layout_ok(N, max_len)
+    if with_miss and not fused_ok:
+        raise ValueError("with_miss requires the fused layout (pair mode)")
+    if fused_ok:
+        # production: raw-stream input, layout fused into the kernel
+        rows = N // 2
+        cells = Bp // LANES
+        words_nat = jax.lax.bitcast_convert_type(
+            data.reshape(Bp, N // 4, 4), jnp.uint32
+        )  # (Bp, N/4) little-endian words — layout-identity with the bytes
+        valid_g = jnp.broadcast_to(
+            valid_row.reshape(cells, 1, LANES), (cells, 8, LANES)
+        ).reshape(cells * 8, LANES)
+        words_g, bits_g, miss_g = _encode_call_fused(
+            words_nat, valid_g, inv4, pres, cumle32, dd32, int(N),
+            int(max_len), bool(interpret), bool(full_alphabet))
+        bits = bits_g.reshape(cells, 8, LANES)[:, 0, :].reshape(Bp)
+        R = _fused_out_rows(N, int(max_len))
+        words = _from_cells(words_g, R, LANES)[:B]
+        if with_miss:
+            miss = jnp.sum(miss_g.reshape(cells, 8, LANES)[:, 0, :])
+            return words, bits[:B], miss
+        return words, bits[:B]
+    if layout == "cell":
+        # cell-major XLA layout — kept for A/B (slower than flat, r3 s1)
         lanes = CELL_LANES if Bp % CELL_LANES == 0 else LANES
         rows = N // 2 if halved else N
         pairs = (_pack_pairs_2d(data) if halved
                  else data.astype(jnp.int32))
         data_g = _to_cells(pairs, lanes)
-        valid_g = valid_row.reshape(Bp // lanes, lanes)
+        cells = Bp // lanes
+        valid_g = jnp.broadcast_to(
+            valid_row.reshape(cells, 1, lanes), (cells, 8, lanes)
+        ).reshape(cells * 8, lanes)
         words_g, bits_g = _encode_call_cells(
             data_g, valid_g, inv4, pres, cumle32, dd32, int(N),
             int(max_len), halved, bool(interpret), bool(full_alphabet),
             int(lanes))
-        return _from_cells(words_g, rows, lanes)[:B], bits_g.reshape(Bp)[:B]
+        bits = bits_g.reshape(cells, 8, lanes)[:, 0, :].reshape(Bp)
+        return _from_cells(words_g, rows, lanes)[:B], bits[:B]
     data_t = pack_pairs(data) if halved else data.T.astype(jnp.int32)
     words_t, bits_t = _encode_call(data_t, valid_row[None, :], inv4, pres,
                                    cumle32, dd32, int(N), int(max_len),
