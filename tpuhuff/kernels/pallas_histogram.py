@@ -2,24 +2,28 @@
 
 The XLA nibble-matmul histogram (:mod:`tpuhuff.kernels.histogram`)
 materializes its one-hot dot operands in HBM — dot operands don't fuse —
-so it runs at HBM-materialization speed (~4 ms / 16 MiB standalone, ~11
-GB/s effective inside a fused program).  This kernel keeps everything in
-VMEM and rides the MXU with a *grouped* one-hot formulation (r3 probes:
-24.8 GB/s, 2-6x the XLA path):
+so it runs at HBM-materialization speed (~13 GB/s effective inside a
+fused program at 100 MiB).  This kernel keeps everything in VMEM and
+rides the MXU with a *grouped* one-hot formulation (r3 probes: 21.5-24.8
+GB/s at 100 MiB/16 MiB):
 
-* per grid cell, 128 KiB of bytes arrive as a (256, 128) u32 tile —
-  a pure ``bitcast`` + ``reshape`` of the raw stream, zero layout cost;
-* each of the 4 byte planes is reshaped (lane-concat) to (16, 2048) and
-  tiled 16x along sublanes to (256, 2048): sublane ``16*k + g`` holds
-  element group ``g``'s bytes, ``k`` is the bin index — so the one-hot
-  compare against ``iota >> 4`` builds 16 groups x 16 nibble bins;
-* one bf16 NT matmul per plane contracts the 2048 element lanes:
-  ``C[16k+g, 16k'+g']`` counts ``hi==k & lo==k'`` within group ``g`` at
-  ``g == g'`` — 16 elements per MXU K-slice, diagonal blocks extracted
-  once at the end (:func:`_finalize`);
-* the f32 accumulator is exact below 2^24 per entry; it is flushed into
-  an int32 accumulator every 64 cells (8 MiB), so arbitrarily large
-  inputs stay exact.
+* per grid cell, 128 KiB of bytes arrive as a (1024, 128) **uint8** tile —
+  a pure ``reshape`` of the raw stream.  The kernel takes u8 directly:
+  routing the bytes through a ``bitcast`` to u32 first (via a flat
+  ``(n/4, 4)`` or ``(m, 128, 4)`` intermediate) poisons the XLA layout
+  and drops throughput to 2.4 GB/s (r3 session 5 A/B);
+* each 256-row quarter of the tile is reshaped (lane-concat) to
+  (16, 2048) and tiled 16x along sublanes to (256, 2048): sublane
+  ``16*k + g`` holds element group ``g``'s bytes, ``k`` is the bin
+  index — the one-hot compare against ``iota >> 4`` builds 16 groups x
+  16 nibble bins;
+* one **int8** NT matmul per quarter (int32 accumulation — exact at any
+  size, and 2x the bf16 K-rate: 32.7 vs 21.5 GB/s at 100 MiB, r3 s6)
+  contracts the 2048 element lanes: ``C[16k+g, 16k'+g']`` counts
+  ``hi==k & lo==k'`` within group ``g`` at ``g == g'`` — the M=N=256
+  output spans 4 MXU tiles, diagonal blocks extracted once at the end
+  (:func:`_finalize`).  ``TPUHUFF_HIST_DOT=bf16`` selects the bf16 dot
+  (with per-cell i32 spill) as a fallback for backends without int8 MXU.
 
 NOTE: ``jnp.concatenate([s16] * 16)`` is deliberate — ``pltpu.repeat``
 produces the same values but forces a pathological operand relayout in
@@ -36,52 +40,57 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["histogram_pallas", "PALLAS_HIST_MIN_BYTES"]
 
-ROWS = 256                      # u32 rows per cell tile
-CELL_BYTES = ROWS * 128 * 4     # 128 KiB
-_FLUSH_CELLS = 64               # f32 -> i32 flush period (8 MiB of bytes)
+ROWS = 256                      # (256, 2048) operand rows per quarter
+U8_ROWS = ROWS * 4              # u8 tile rows per cell
+CELL_BYTES = U8_ROWS * 128      # 128 KiB
 
 # below this, padding waste and grid overhead beat the kernel — use XLA
 PALLAS_HIST_MIN_BYTES = 1 << 20
 
 
-def _hist_kernel(w_ref, o_ref, accf_ref, acci_ref):
+def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool):
     i = pl.program_id(0)
     np_ = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _():
-        accf_ref[:] = jnp.zeros_like(accf_ref)
         acci_ref[:] = jnp.zeros_like(acci_ref)
 
-    w = w_ref[:]  # (ROWS, 128) u32
     T = ROWS * 8
     sub = jax.lax.broadcasted_iota(jnp.int32, (256, T), 0)
     binv = sub >> 4
-    for shift in (0, 8, 16, 24):
-        p = ((w >> shift) & 0xFF).astype(jnp.int32)
+    for q in range(4):
+        p = w_ref[ROWS * q : ROWS * (q + 1), :].astype(jnp.int32)
         s16 = jnp.concatenate(
             [p[16 * k : 16 * (k + 1)] for k in range(ROWS // 16)], axis=1
         )  # (16, T)
         r = jnp.concatenate([s16] * 16, axis=0)  # (256, T) tile-stacked
-        a = ((r >> 4) == binv).astype(jnp.bfloat16)
-        b = ((r & 15) == binv).astype(jnp.bfloat16)
-        accf_ref[:] += jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    # keep the f32 accumulator's entries below 2^24: spill to int32
-    @pl.when(jnp.logical_or(i % _FLUSH_CELLS == _FLUSH_CELLS - 1,
-                            i == np_ - 1))
-    def _():
-        acci_ref[:] += accf_ref[:].astype(jnp.int32)
-        accf_ref[:] = jnp.zeros_like(accf_ref)
+        if i8:
+            # int8 operands + int32 accumulation: 2x the bf16 MXU K-rate
+            # (r3 s6: 3.21 ms vs 4.88 ms per 100 MiB) and exact at any
+            # size with no f32 spill.  NOTE preferred_element_type must
+            # be int32 — int8 operands with f32 accumulation crash this
+            # backend's remote compiler (r3 s2).
+            a = ((r >> 4) == binv).astype(jnp.int8)
+            b = ((r & 15) == binv).astype(jnp.int8)
+            acci_ref[:] += jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            a = ((r >> 4) == binv).astype(jnp.bfloat16)
+            b = ((r & 15) == binv).astype(jnp.bfloat16)
+            # f32 accumulation of one cell is exact (<= 2^17 per entry);
+            # the i32 accumulator absorbs it every cell
+            acci_ref[:] += jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
 
     @pl.when(i == np_ - 1)
     def _():
@@ -89,20 +98,22 @@ def _hist_kernel(w_ref, o_ref, accf_ref, acci_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _hist_call(words: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    cells = words.shape[0] // ROWS
+def _hist_call(bytes2d: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    import os
+
+    cells = bytes2d.shape[0] // U8_ROWS
+    i8 = os.environ.get("TPUHUFF_HIST_DOT", "i8") != "bf16"
     return pl.pallas_call(
-        _hist_kernel,
+        functools.partial(_hist_kernel, i8=i8),
         grid=(cells,),
-        in_specs=[pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((U8_ROWS, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((256, 256), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((256, 256), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((256, 256), jnp.float32),
-                        pltpu.VMEM((256, 256), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((256, 256), jnp.int32)],
         interpret=interpret,
-    )(words)
+    )(bytes2d)
 
 
 def _finalize(C: jnp.ndarray) -> jnp.ndarray:
@@ -116,7 +127,8 @@ def _finalize(C: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def histogram_pallas(data: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+def histogram_pallas(data: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
     """(..., n) uint8 -> (256,) int32 exact histogram (TPU Pallas).
 
     Pads the stream with zero bytes up to a whole number of 128 KiB cells
@@ -129,10 +141,7 @@ def histogram_pallas(data: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     padded_n = -(-max(n, 1) // CELL_BYTES) * CELL_BYTES
     if padded_n != n:
         flat = jnp.pad(flat, (0, padded_n - n))
-    words = jax.lax.bitcast_convert_type(
-        flat.reshape(padded_n // 4, 4), jnp.uint32
-    ).reshape(-1, 128)
-    hist = _finalize(_hist_call(words, interpret))
+    hist = _finalize(_hist_call(flat.reshape(-1, 128), interpret))
     if padded_n != n:
         hist = hist.at[0].add(-(padded_n - n))
     return hist.astype(jnp.int32)
