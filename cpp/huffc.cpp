@@ -482,6 +482,96 @@ void huffc_or_copy(const uint8_t* src, uint64_t src_bits, uint8_t* dst,
   or_shift_copy(src, src_bits, dst, dst_bit);
 }
 
+// Threaded independent-block encode + bit-carry stitch + per-block index:
+// the whole-chunk form of the `.hf2` writer's block loop (one call per
+// streaming chunk instead of one FFI call per 64 KiB block — the python
+// loop's per-call overhead matched the actual encode cost).  Semantics per
+// block match huffc_encode at start_bit = prefix-sum of earlier blocks'
+// bit lengths; `bit_lens[k]` receives block k's exact bit count (the
+// `.hf2` table entries).  `out` must be zeroed.  Threads own contiguous
+// block runs; run-boundary blocks are merged serially afterwards so seam
+// bytes (shared by adjacent blocks) are never raced (same ownership rule
+// as huffc_stitch_blocks).  Returns total bits, -1 on overflow, -2 on a
+// letter with no code (reference CompressError, comp.rs:427-432).
+int64_t huffc_encode_blocks(const uint8_t* data, uint64_t n,
+                            uint64_t block_len, const uint8_t* len_lut,
+                            const uint64_t* code_lut, uint8_t* out,
+                            uint64_t out_cap, uint64_t* bit_lens,
+                            int num_threads) {
+  if (block_len == 0) return -3;
+  int64_t nb = (int64_t)((n + block_len - 1) / block_len);
+  if (nb == 0) return 0;
+  uint64_t hist[256];
+  huffc_hist(data, n, num_threads, hist);
+  int max_len = 0;
+  for (int b = 0; b < 256; ++b) {
+    if (hist[b]) {
+      if (len_lut[b] == 0) return -2;
+      if (len_lut[b] > max_len) max_len = len_lut[b];
+    }
+  }
+  int t = num_threads > 1 ? num_threads : 1;
+  if (nb < 2 * t) t = 1;
+  int64_t per = (nb + t - 1) / t;
+  // pass 1 (parallel): exact per-block bit lengths
+  {
+    std::vector<std::thread> threads;
+    for (int w = 0; w < t; ++w) {
+      int64_t lo = (int64_t)w * per, hi = std::min<int64_t>(lo + per, nb);
+      if (lo >= hi) continue;
+      threads.emplace_back([=] {
+        for (int64_t k = lo; k < hi; ++k) {
+          uint64_t a = (uint64_t)k * block_len;
+          uint64_t b2 = std::min<uint64_t>(a + block_len, n);
+          uint64_t bits = 0;
+          for (uint64_t i = a; i < b2; ++i) bits += len_lut[data[i]];
+          bit_lens[k] = bits;
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  std::vector<uint64_t> offs((size_t)nb + 1);
+  offs[0] = 0;
+  for (int64_t k = 0; k < nb; ++k) offs[k + 1] = offs[k] + bit_lens[k];
+  if ((offs[nb] + 7) / 8 + 8 > out_cap) return -1;
+  uint64_t row_bytes = (block_len * (uint64_t)(max_len ? max_len : 1)) / 8 + 16;
+  // pass 2 (parallel): pack each block into a reused thread-local scratch
+  // row, OR-shift it into place; run-boundary blocks go serially after
+  {
+    std::vector<std::thread> threads;
+    for (int w = 0; w < t; ++w) {
+      int64_t lo = (int64_t)w * per, hi = std::min<int64_t>(lo + per, nb);
+      if (lo >= hi) continue;
+      threads.emplace_back([=] {
+        std::vector<uint8_t> scratch(row_bytes, 0);
+        for (int64_t k = lo + (t > 1 ? 1 : 0); k < hi; ++k) {
+          if (!bit_lens[k]) continue;
+          uint64_t a = (uint64_t)k * block_len;
+          uint64_t b2 = std::min<uint64_t>(a + block_len, n);
+          encode_range(data + a, b2 - a, len_lut, code_lut, scratch.data());
+          or_shift_copy(scratch.data(), bit_lens[k], out, offs[k]);
+          std::memset(scratch.data(), 0, (bit_lens[k] + 7) / 8 + 8);
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  if (t > 1) {
+    std::vector<uint8_t> scratch(row_bytes, 0);
+    for (int w = 0; w < t; ++w) {
+      int64_t lo = (int64_t)w * per;
+      if (lo >= nb || !bit_lens[lo]) continue;
+      uint64_t a = (uint64_t)lo * block_len;
+      uint64_t b2 = std::min<uint64_t>(a + block_len, n);
+      encode_range(data + a, b2 - a, len_lut, code_lut, scratch.data());
+      or_shift_copy(scratch.data(), bit_lens[lo], out, offs[lo]);
+      std::memset(scratch.data(), 0, (bit_lens[lo] + 7) / 8 + 8);
+    }
+  }
+  return (int64_t)offs[nb];
+}
+
 // Stitch n_blocks bitstreams (rows of `srcs`, row stride `row_bytes`, row k
 // holding bit_lens[k] bits) into `dst` starting at start_bit.  The correct
 // bit-carry concat of the block outputs — what the reference CLI's seek-back

@@ -392,29 +392,28 @@ def _encode_block_group(
 
     Returns ``(payload, total_bits, bit_lens)`` — the chunk's block streams
     bit-concatenated plus the per-block bit lengths for the ``.hf2`` table.
+    With the native runtime this is ONE threaded C++ call
+    (``huffc_encode_blocks``); the python fallback loops blocks.
     """
+    if nat is not None:
+        payload, total, bit_lens = nat.encode_blocks_host(
+            data, block_len, lens_lut, codes_lut)
+        return payload, total, bit_lens
     nb = -(-data.size // block_len)
     parts = []
     bit_lens = np.zeros(nb, dtype=np.uint64)
     for b in range(nb):
         blk = data[b * block_len : (b + 1) * block_len]
-        p, nbits = _encode_chunk(blk, lens_lut, codes_lut, nat)
+        p, nbits = _encode_chunk(blk, lens_lut, codes_lut, None)
         parts.append((p, nbits))
         bit_lens[b] = nbits
-    if nat is not None:
-        rows_bytes = max((len(p) for p, _ in parts), default=1)
-        rows = np.zeros((nb, rows_bytes), dtype=np.uint8)
-        for b, (p, _) in enumerate(parts):
-            rows[b, : len(p)] = np.frombuffer(p, dtype=np.uint8)
-        payload, _pad = nat.stitch_blocks(rows, bit_lens)
-    else:
-        value, total = 0, 0
-        for p, nbits in parts:
-            c = int.from_bytes(p, "big") >> (len(p) * 8 - nbits)
-            value = (value << nbits) | c
-            total += nbits
-        pad = calc_padding_bits(total)
-        payload = (value << pad).to_bytes((total + pad) // 8, "big")
+    value, total = 0, 0
+    for p, nbits in parts:
+        c = int.from_bytes(p, "big") >> (len(p) * 8 - nbits)
+        value = (value << nbits) | c
+        total += nbits
+    pad = calc_padding_bits(total)
+    payload = (value << pad).to_bytes((total + pad) // 8, "big")
     return payload, int(bit_lens.sum()), bit_lens
 
 

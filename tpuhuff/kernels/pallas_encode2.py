@@ -147,7 +147,8 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
 
 def _encode_kernel_fused(w_ref, valid_ref, pa_ref, pb_ref, inv4_ref,
                          pres_ref, cumle_ref, dd_ref, words_ref, bits_ref,
-                         miss_ref, *, N: int, ML: int, full: bool):
+                         miss_ref, *, N: int, ML: int, full: bool,
+                         groups: int = 1):
     """Natural-input variant: the cell's bytes arrive as the raw stream
     (128 blocks x N/4 u32 little-endian words) and the packed-pair LAYOUT
     happens *inside* the kernel as four constant-permutation NT matmuls —
@@ -163,42 +164,47 @@ def _encode_kernel_fused(w_ref, valid_ref, pa_ref, pb_ref, inv4_ref,
     (the reference's per-letter CompressError, `comp.rs:427-432`) — free
     here, replacing the separate ``count_missing`` device pass.
     """
-    w = w_ref[:]  # (128, N/4) u32: sublane = block lane, lane = word index
-    dt = pa_ref.dtype
-    u0 = (w & 0xFF).astype(jnp.int32).astype(dt)
-    u1 = ((w >> 8) & 0xFF).astype(jnp.int32).astype(dt)
-    u2 = ((w >> 16) & 0xFF).astype(jnp.int32).astype(dt)
-    u3 = (w >> 24).astype(jnp.int32).astype(dt)
-    nt = (((1,), (1,)), ((), ()))
-    b0 = (jax.lax.dot_general(pa_ref[:], u0, nt,
-                              preferred_element_type=jnp.float32)
-          + jax.lax.dot_general(pb_ref[:], u2, nt,
-                                preferred_element_type=jnp.float32)
-          ).astype(jnp.int32)
-    b1 = (jax.lax.dot_general(pa_ref[:], u1, nt,
-                              preferred_element_type=jnp.float32)
-          + jax.lax.dot_general(pb_ref[:], u3, nt,
-                                preferred_element_type=jnp.float32)
-          ).astype(jnp.int32)
-    rows, lanes = b0.shape  # (N/2, 128)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-    valid = valid_ref[0:1, :]
-    x0, l0 = _ladder(b0, 2 * row, valid, inv4_ref, pres_ref,
-                     cumle_ref, dd_ref, ML, full)
-    x1, l1 = _ladder(b1, 2 * row + 1, valid, inv4_ref, pres_ref,
-                     cumle_ref, dd_ref, ML, full)
-    miss = ((l0 == 0) & (2 * row < valid)).astype(jnp.int32) + (
-        (l1 == 0) & (2 * row + 1 < valid)).astype(jnp.int32)
-    miss_ref[:] = jnp.broadcast_to(
-        jnp.sum(miss, axis=0, keepdims=True), miss_ref.shape)
-    x = x0 | (x1 >> l0.astype(jnp.uint32))
-    alen = l0 + l1
-    x, alen = _merge_levels(x, alen, N, ML, 1, 2)
-    # a block's stream is <= ML*N bits, so only the first ceil(ML*N/32)
-    # word rows can be nonzero — the out spec is bounded to R rows
-    # (_fused_out_rows), saving up to ~45% of the output HBM write
-    words_ref[:] = x[: words_ref.shape[0]]
-    bits_ref[:] = jnp.broadcast_to(alen[0:1], bits_ref.shape)
+    R = words_ref.shape[0] // groups
+    for g in range(groups):
+        # (128, N/4) u32 slab: sublane = block lane, lane = word index
+        w = w_ref[128 * g : 128 * (g + 1), :]
+        dt = pa_ref.dtype
+        u0 = (w & 0xFF).astype(jnp.int32).astype(dt)
+        u1 = ((w >> 8) & 0xFF).astype(jnp.int32).astype(dt)
+        u2 = ((w >> 16) & 0xFF).astype(jnp.int32).astype(dt)
+        u3 = (w >> 24).astype(jnp.int32).astype(dt)
+        nt = (((1,), (1,)), ((), ()))
+        b0 = (jax.lax.dot_general(pa_ref[:], u0, nt,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(pb_ref[:], u2, nt,
+                                    preferred_element_type=jnp.float32)
+              ).astype(jnp.int32)
+        b1 = (jax.lax.dot_general(pa_ref[:], u1, nt,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(pb_ref[:], u3, nt,
+                                    preferred_element_type=jnp.float32)
+              ).astype(jnp.int32)
+        rows, lanes = b0.shape  # (N/2, 128)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+        valid = valid_ref[8 * g : 8 * g + 1, :]
+        x0, l0 = _ladder(b0, 2 * row, valid, inv4_ref, pres_ref,
+                         cumle_ref, dd_ref, ML, full)
+        x1, l1 = _ladder(b1, 2 * row + 1, valid, inv4_ref, pres_ref,
+                         cumle_ref, dd_ref, ML, full)
+        miss = ((l0 == 0) & (2 * row < valid)).astype(jnp.int32) + (
+            (l1 == 0) & (2 * row + 1 < valid)).astype(jnp.int32)
+        miss_ref[8 * g : 8 * (g + 1), :] = jnp.broadcast_to(
+            jnp.sum(miss, axis=0, keepdims=True), (8, lanes))
+        x = x0 | (x1 >> l0.astype(jnp.uint32))
+        alen = l0 + l1
+        x, alen = _merge_levels(x, alen, N, ML, 1, 2)
+        # a block's stream is <= ML*N bits, so only the first
+        # ceil(ML*N/32) word rows can be nonzero — the out spec is
+        # bounded to R rows (_fused_out_rows), saving up to ~45% of the
+        # output HBM write
+        words_ref[R * g : R * (g + 1), :] = x[:R]
+        bits_ref[8 * g : 8 * (g + 1), :] = jnp.broadcast_to(
+            alen[0:1], (8, lanes))
 
 
 def _fused_out_rows(N: int, ML: int) -> int:
@@ -339,18 +345,22 @@ def _encode_call_fused(words_nat, valid_g, inv4, pres, cumle, dd, n_syms,
     nw = N // 4
     rows = N // 2
     R = _fused_out_rows(N, max_len)
-    cells = words_nat.shape[0] // 128
+    G = _enc_groups()
+    total = words_nat.shape[0] // 128
+    while total % G:
+        G //= 2
+    cells = total // G
     pa, pb = _perm_halves_np(nw)
     kernel = functools.partial(
-        _encode_kernel_fused, N=N, ML=max_len, full=full
+        _encode_kernel_fused, N=N, ML=max_len, full=full, groups=G
     )
     return pl.pallas_call(
         kernel,
         grid=(cells,),
         in_specs=[
-            pl.BlockSpec((128, nw), lambda i: (i, 0),
+            pl.BlockSpec((128 * G, nw), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda i: (i, 0),
+            pl.BlockSpec((8 * G, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, nw), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -362,22 +372,34 @@ def _encode_call_fused(words_nat, valid_g, inv4, pres, cumle, dd, n_syms,
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R, LANES), lambda i: (i, 0),
+            pl.BlockSpec((R * G, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda i: (i, 0),
+            pl.BlockSpec((8 * G, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANES), lambda i: (i, 0),
+            pl.BlockSpec((8 * G, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((cells * R, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((cells * 8, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((cells * 8, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((cells * G * R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((cells * G * 8, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((cells * G * 8, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(words_nat, valid_g,
       jnp.asarray(pa, jnp.bfloat16), jnp.asarray(pb, jnp.bfloat16),
       inv4, pres, cumle, dd)
+
+
+def _enc_groups() -> int:
+    """Block-lane groups per fused-kernel grid cell (power of two).
+
+    Larger cells amortize per-cell grid/DMA overhead at big batch;
+    TPUHUFF_ENC_GROUPS overrides."""
+    try:
+        g = int(_os.environ.get("TPUHUFF_ENC_GROUPS", "4"))
+    except ValueError:
+        g = 4
+    return max(1, g & -g)
 
 
 @functools.partial(

@@ -143,6 +143,11 @@ def _declare(lib: ctypes.CDLL) -> None:
         _u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
     ]
     lib.huffc_stitch_blocks.restype = ctypes.c_int64
+    lib.huffc_encode_blocks.argtypes = [
+        _u8p, ctypes.c_uint64, ctypes.c_uint64, _u8p, _u64p,
+        _u8p, ctypes.c_uint64, _u64p, ctypes.c_int,
+    ]
+    lib.huffc_encode_blocks.restype = ctypes.c_int64
 
 
 def available() -> bool:
@@ -185,6 +190,43 @@ def encode(
         raise RuntimeError(f"huffc_encode failed: {r}")
     nbytes = (r + 7) // 8
     return out[:nbytes].tobytes(), (8 - r % 8) % 8
+
+
+def encode_blocks_host(
+    data: np.ndarray,
+    block_len: int,
+    lens_lut: np.ndarray,
+    codes_lut: np.ndarray,
+    threads: int | None = None,
+) -> Tuple[bytes, int, np.ndarray]:
+    """Threaded independent-block encode + bit-carry stitch in ONE call.
+
+    The whole-chunk form of the ``.hf2`` writer's block loop: returns
+    ``(payload, total_bits, bit_lens)`` where ``bit_lens[k]`` is block k's
+    exact bit count (the container's block-table entries).  One FFI call
+    per streaming chunk — the per-block python loop spent as long in call
+    overhead as in the encoder itself (r3 profile).
+    """
+    lib = _load()
+    assert lib is not None
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    lens_lut = np.ascontiguousarray(lens_lut, dtype=np.uint8)
+    codes_lut = np.ascontiguousarray(codes_lut, dtype=np.uint64)
+    nb = max(1, -(-data.size // block_len))
+    max_len = int(lens_lut.max()) if lens_lut.size else 1
+    cap = (data.size * max(max_len, 1) + 7) // 8 + 16
+    out = np.zeros(cap, dtype=np.uint8)
+    bit_lens = np.zeros(nb, dtype=np.uint64)
+    r = int(lib.huffc_encode_blocks(
+        data, data.size, block_len, lens_lut, codes_lut, out, cap,
+        bit_lens, threads or num_threads()))
+    if r == -2:
+        from ..core.format import CompressError
+
+        raise CompressError("letter not found in codes", None)
+    if r < 0:
+        raise RuntimeError(f"huffc_encode_blocks failed: {r}")
+    return out[: (r + 7) // 8].tobytes(), r, bit_lens
 
 
 class DfaTables:
