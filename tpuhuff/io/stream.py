@@ -221,7 +221,7 @@ def _device_encoder(tree: HuffTree, block_len: int | None = None):
     from ..dist import stitch_words
     from ..dist.block import pad_to_blocks
     from ..kernels.encode import (
-        _auto_pallas, count_missing, encode_blocks,
+        _auto_pallas, encode_blocks,
         make_canonical_encode_tables, make_encode_tables,
     )
 
@@ -254,12 +254,15 @@ def _device_encoder(tree: HuffTree, block_len: int | None = None):
         jblocks, jvalid = jnp.asarray(blocks), jnp.asarray(valid)
         # missing-letter guard (`comp.rs:427-432`): possible only if the
         # file changed between the histogram pass and this one — the device
-        # kernels would otherwise drop the byte's bits silently
-        if count_missing(jblocks, dl, jvalid):
+        # kernels would otherwise drop the byte's bits silently.  It rides
+        # the encode program (free on the fused Pallas route).
+        words, bits, miss = encode_blocks(jblocks, dl, da, jvalid,
+                                          max_code_len=ml,
+                                          canon_tables=canon_tabs,
+                                          full_alphabet=full_alpha,
+                                          with_miss=True)
+        if int(miss):
             raise CompressError("letter not found in codes", None)
-        words, bits = encode_blocks(jblocks, dl, da, jvalid,
-                                    max_code_len=ml, canon_tables=canon_tabs,
-                                    full_alphabet=full_alpha)
         payload, pad = stitch_words(np.asarray(words), np.asarray(bits))
         return payload, len(payload) * 8 - pad
 
@@ -430,7 +433,7 @@ def _device_block_encoder(tree: HuffTree, block_len: int):
     from ..dist import stitch_words
     from ..dist.block import pad_to_blocks
     from ..kernels.encode import (
-        PALLAS_MAX_BLOCK, count_missing, encode_blocks,
+        PALLAS_MAX_BLOCK, encode_blocks,
         make_canonical_encode_tables, make_encode_tables,
     )
 
