@@ -114,36 +114,46 @@ def sharded_encode(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack (B, N) blocks data-parallel; returns (words (B, W), bits (B,)).
 
-    ``check_missing`` (default on): one extra LUT pass counting bytes with
-    no code; raises :class:`CompressError` instead of silently dropping
-    them (reference `comp.rs:427-432`).  :func:`encode_pipeline` passes
-    False — its histogram-vs-LUT host check already guarantees coverage.
+    ``check_missing`` (default on): counts valid bytes with no code and
+    raises :class:`CompressError` instead of silently dropping them
+    (reference `comp.rs:427-432`).  The count rides the encode program
+    (``with_miss`` — free in the fused Pallas kernel, one fused LUT pass
+    elsewhere) with a ``psum`` across the mesh; no separate dispatch.
+    :func:`encode_pipeline` passes False — its histogram-vs-LUT host
+    check already guarantees coverage.
     """
-    if check_missing:
-        n_miss = sharded_count_missing(blocks, valid_lens, lens_lut, mesh)
-        if n_miss:
-            from ..core.format import CompressError
-
-            raise CompressError(
-                f"letter not found in codes ({n_miss} bytes)", None
-            )
-
     def shard(local, valid, ll, al, *canon):
         kw = {"full_alphabet": full_alphabet}
         if max_code_len is not None:
             kw["max_code_len"] = max_code_len
         if canon:
             kw["canon_tables"] = canon
+        if check_missing:
+            words, bits, miss = encode_blocks(local, ll, al, valid,
+                                              with_miss=True, **kw)
+            return words, bits, jax.lax.psum(miss, BLOCK_AXIS)
         return encode_blocks(local, ll, al, valid, **kw)
 
     canon = tuple(canon_tables) if canon_tables is not None else ()
+    out_specs = ((P(BLOCK_AXIS), P(BLOCK_AXIS), P()) if check_missing
+                 else (P(BLOCK_AXIS), P(BLOCK_AXIS)))
     fn = jax.shard_map(
         shard,
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(), P()) + (P(),) * len(canon),
-        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=out_specs,
     )
-    return jax.jit(fn)(blocks, valid_lens, lens_lut, acodes_lut, *canon)
+    out = jax.jit(fn)(blocks, valid_lens, lens_lut, acodes_lut, *canon)
+    if check_missing:
+        words, bits, miss = out
+        if int(miss):
+            from ..core.format import CompressError
+
+            raise CompressError(
+                f"letter not found in codes ({int(miss)} bytes)", None
+            )
+        return words, bits
+    return out
 
 
 def sharded_decode_blocks(
