@@ -240,12 +240,13 @@ def main() -> None:
                 r, b0, nb = args
 
                 def body(i, acc):
-                    # roll blocks consistently: a real decode of a permuted
-                    # container — identical per-iteration work
-                    o = decode_rows_fused(
-                        jnp.roll(r, i, axis=0), jnp.roll(b0, i, axis=0),
-                        jnp.roll(nb, i, axis=0), jub, jdd, jperm,
-                        ml, DEC_BLOCK, unroll)
+                    # iteration salt: shorten the last block by i&1 bits —
+                    # the program re-executes fully while the word rows
+                    # stay put (rolling the (B, W) u32 rows is a
+                    # minor-dim-17 layout hazard, PERF_NOTES r3)
+                    nb2 = nb.at[-1].add(-(i & 1))
+                    o = decode_rows_fused(r, b0, nb2, jub, jdd, jperm,
+                                          ml, DEC_BLOCK, unroll)
                     return acc + o[0, 0].astype(jnp.int32) + o[-1, -1]
                 return jax.lax.fori_loop(0, K, body, jnp.int32(0))
             return run
@@ -315,9 +316,9 @@ def main() -> None:
                     r, b0, nb = args
 
                     def body(i, acc):
+                        nb2 = nb.at[-1].add(-(i & 1))
                         o = decode_rows_fused_general(
-                            jnp.roll(r, i, axis=0), jnp.roll(b0, i, axis=0),
-                            jnp.roll(nb, i, axis=0), jeytz, jsym, jlen,
+                            r, b0, nb2, jeytz, jsym, jlen,
                             DEC_BLOCK, unroll, levels=levels)
                         return acc + o[0, 0].astype(jnp.int32) + o[-1, -1]
                     return jax.lax.fori_loop(0, K, body, jnp.int32(0))
