@@ -6,18 +6,23 @@ text, 64 KiB logical blocks); "extra" carries the decode-side e2e number
 (config 5's per-chip analogue), compile times, and workload parameters.
 
 Methodology (important on tunneled/relayed TPU attachments): each device
-step runs K iterations inside ONE jitted ``fori_loop`` with device-side
-input variation, and the per-iteration time is the slope between a K1-run
-and a K2-run — this cancels dispatch-floor latency and any host<->device
-transfer artifacts exactly, measuring true device kernel time.
+step runs K iterations inside ONE jitted ``fori_loop``, and the
+per-iteration time is the slope between a K1-run and a K2-run — this
+cancels dispatch-floor latency and any host<->device transfer artifacts
+exactly, measuring true device kernel time.  Per-iteration variation is a
+SALT on a small operand (a valid-length / bit-count perturbation): the
+program re-executes fully each iteration (its operands change, so nothing
+hoists out of the loop) while the input buffers stay put — r2's
+``jnp.roll`` variation charged a layout-degraded full input copy (~30% at
+100 MiB) to the metric (PERF_NOTES r3).
 
 Workloads:
-* ENCODE — config 2: 64 KiB container blocks.  The kernels encode 256-byte
-  lanes (their VMEM sweet spot) and per-64Ki block bit lengths are lane
-  sums; the stitched payload is bit-identical to sequential 64 KiB-block
-  encode (prefix-code concat is associative), so this IS the 64 KiB-block
-  measurement.  The timed step = device histogram pass + lane encode +
-  per-block bit reduction (the honest two-pass compress minus file I/O).
+* ENCODE — config 2: 100 MB, 64 KiB container blocks.  The kernels encode
+  256-byte lanes (their VMEM sweet spot) and per-64Ki block bit lengths
+  are lane sums; the stitched payload is bit-identical to sequential
+  64 KiB-block encode (prefix-code concat is associative), so this IS the
+  64 KiB-block measurement.  The two-pass row = Pallas histogram pass +
+  encode pass (the honest whole-file device compress minus file I/O).
 * DECODE — the ``.hf2 --device`` product path at its default block (256 B):
   device-resident (B, W) word rows in the container's natural layout ->
   ``decode_rows_fused`` (cell-major layout + Pallas ladder kernel + inverse
