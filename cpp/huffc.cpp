@@ -503,15 +503,21 @@ int64_t huffc_encode_blocks(const uint8_t* data, uint64_t n,
   if (nb == 0) return 0;
   uint64_t hist[256];
   huffc_hist(data, n, num_threads, hist);
-  int max_len = 0;
+  int max_len = 0, min_len = 0;
   for (int b = 0; b < 256; ++b) {
     if (hist[b]) {
       if (len_lut[b] == 0) return -2;
       if (len_lut[b] > max_len) max_len = len_lut[b];
+      if (min_len == 0 || len_lut[b] < min_len) min_len = len_lut[b];
     }
   }
   int t = num_threads > 1 ? num_threads : 1;
   if (nb < 2 * t) t = 1;
+  // seam-byte ownership (skip each run's first block, merge serially)
+  // only prevents cross-thread byte sharing when every FULL block spans
+  // >= 8 bits; with tiny blocks or 1-bit codes thread-adjacent blocks
+  // could share a seam byte and race the non-atomic |= — serialize then
+  if (block_len * (uint64_t)(min_len ? min_len : 1) < 8) t = 1;
   int64_t per = (nb + t - 1) / t;
   // pass 1 (parallel): exact per-block bit lengths
   {

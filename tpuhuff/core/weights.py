@@ -111,13 +111,22 @@ class ByteWeights:
             pass
         return cls(np.bincount(arr, minlength=256).astype(np.int64))
 
-    # `threaded_from_bytes` (`weights.rs:293-319`) exists for API parity; a
-    # single bincount already runs at memory bandwidth on host, and the real
-    # parallel path is the device histogram kernel + psum merge.
+    # `threaded_from_bytes` (`weights.rs:293-319`): with the native runtime
+    # the thread count is honored (the reference CLI passes 12,
+    # `huff/src/comp.rs:164`); without it a single bincount already runs at
+    # memory bandwidth, and the real parallel path is the device histogram
+    # kernel + psum merge.
     @classmethod
     def threaded_from_bytes(cls, data: BytesLike, thread_num: int = 12) -> "ByteWeights":
-        del thread_num
-        return cls.from_bytes(data)
+        arr = _as_u8_array(data)
+        try:
+            from .. import native
+
+            if native.available():
+                return cls(native.hist(arr, threads=max(1, int(thread_num))))
+        except Exception:
+            pass
+        return cls(np.bincount(arr, minlength=256).astype(np.int64))
 
     # -- Weights interface (`weights.rs:34-39`) ----------------------------
     def get(self, byte: int) -> int | None:

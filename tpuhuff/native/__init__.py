@@ -212,7 +212,12 @@ def encode_blocks_host(
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     lens_lut = np.ascontiguousarray(lens_lut, dtype=np.uint8)
     codes_lut = np.ascontiguousarray(codes_lut, dtype=np.uint64)
-    nb = max(1, -(-data.size // block_len))
+    # empty chunk -> empty block table (the C++ side computes nb = 0 and
+    # writes nothing; a spurious [0] entry here would desync the `.hf2`
+    # table semantics between backends — ADVICE r3)
+    if data.size == 0:
+        return b"", 0, np.zeros(0, dtype=np.uint64)
+    nb = -(-data.size // block_len)
     max_len = int(lens_lut.max()) if lens_lut.size else 1
     cap = (data.size * max(max_len, 1) + 7) // 8 + 16
     out = np.zeros(cap, dtype=np.uint8)
