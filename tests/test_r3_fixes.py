@@ -166,6 +166,15 @@ def test_all_public_kernel_entries_run():
         run("pallas_encode2.encode_blocks_pallas2",
             lambda: kpenc.encode_blocks_pallas2(
                 blocks, canon[:4], ml, interpret=True))
+        if kpenc.fused_layout_ok(blocks.shape[1], ml):
+            # the fused-hist tail output goes through finalize_hist8
+            hist = kpenc.encode_blocks_pallas2(
+                blocks, canon[:4], ml, interpret=True,
+                hist_data=jnp.asarray(blocks).reshape(-1))[-1]
+            assert np.array_equal(
+                np.asarray(hist),
+                np.bincount(np.asarray(blocks).reshape(-1), minlength=256))
+            ran.add("pallas_encode2.finalize_hist8")
     # decode side
     thr, sym4, len4 = kdec.make_decode_tables(tree)
     ran.add("decode.make_decode_tables")

