@@ -435,11 +435,12 @@ def _perm_halves_np(n_words: int):
 
 @functools.partial(
     jax.jit, static_argnames=("n_syms", "max_len", "interpret", "full",
-                              "transpose_out", "with_hist"),
+                              "transpose_out", "with_hist", "groups"),
 )
 def _encode_call_fused(words_nat, valid_g, inv4, pres, cumle, dd, n_syms,
                        max_len, interpret, full, transpose_out=False,
-                       hist_bytes=None, with_hist=False):
+                       hist_bytes=None, with_hist=False,
+                       groups: int | None = None):
     """Fused-input path: ``words_nat`` (cells*128, N/4) u32 is the raw byte
     stream (pure bitcast+reshape — zero XLA layout work); each grid cell
     reads its 128 blocks' natural words and performs the pair layout
@@ -454,7 +455,7 @@ def _encode_call_fused(words_nat, valid_g, inv4, pres, cumle, dd, n_syms,
     nw = N // 4
     rows = N // 2
     R = _fused_out_rows(N, max_len)
-    G = _enc_groups()
+    G = _enc_groups() if groups is None else groups
     total = words_nat.shape[0] // 128
     while total % G:
         G //= 2
@@ -742,7 +743,8 @@ def encode_blocks_pallas2(
         out = _encode_call_fused(
             words_nat, valid_g, inv4, pres, cumle32, dd32, int(N),
             int(max_len), bool(interpret), bool(full_alphabet),
-            transpose_out=tout, hist_bytes=hist_bytes, with_hist=with_hist)
+            transpose_out=tout, hist_bytes=hist_bytes, with_hist=with_hist,
+            groups=_enc_groups())
         words_g, bits_g, miss_g = out[:3]
         bits = bits_g.reshape(cells, 8, LANES)[:, 0, :].reshape(Bp)
         R = _fused_out_rows(N, int(max_len))

@@ -107,11 +107,13 @@ def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int):
         o_ref[:] = acci_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _hist_call(bytes2d: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("interpret", "G"))
+def _hist_call(bytes2d: jnp.ndarray, interpret: bool = False,
+               G: int | None = None) -> jnp.ndarray:
     cells = bytes2d.shape[0] // U8_ROWS
     i8 = _os.environ.get("TPUHUFF_HIST_DOT", "i8") != "bf16"
-    G = HIST_G
+    if G is None:
+        G = HIST_G
     return pl.pallas_call(
         functools.partial(_hist_kernel, i8=i8, G=G),
         grid=(cells,),
@@ -136,9 +138,10 @@ def _finalize(C: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("kgjg->kj", C4).reshape(256)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "G"))
 def histogram_pallas(data: jnp.ndarray,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     G: int | None = None) -> jnp.ndarray:
     """(..., n) uint8 -> (256,) int32 exact histogram (TPU Pallas).
 
     Pads the stream with zero bytes up to a whole number of 128 KiB cells
@@ -151,7 +154,7 @@ def histogram_pallas(data: jnp.ndarray,
     padded_n = -(-max(n, 1) // CELL_BYTES) * CELL_BYTES
     if padded_n != n:
         flat = jnp.pad(flat, (0, padded_n - n))
-    hist = _finalize(_hist_call(flat.reshape(-1, 128), interpret))
+    hist = _finalize(_hist_call(flat.reshape(-1, 128), interpret, G))
     if padded_n != n:
         hist = hist.at[0].add(-(padded_n - n))
     return hist.astype(jnp.int32)
