@@ -16,6 +16,17 @@ hoists out of the loop) while the input buffers stay put — r2's
 ``jnp.roll`` variation charged a layout-degraded full input copy (~30% at
 100 MiB) to the metric (PERF_NOTES r3).
 
+HONEST CONSUMPTION (r4, VERDICT r3 #1): every timed loop consumes EVERY
+output element through a u32<->u8 *bitcast* reduction.  A plain ``sum``
+is not enough — XLA folds ``reduce(transpose(x))`` into a permuted
+reduce, deleting the very output-layout passes the product pays (the r3
+bench's corner-consume let ~38% of the decode cost be DCE'd; judge HLO
+check: 10,227 vs 39,657 lines).  A bitcast packs FINAL-layout-adjacent
+bytes and cannot be commuted through a transpose, so the measured program
+materializes exactly what the product materializes.  (The kernels now
+also emit container-row layout directly — in-kernel MXU transposes — so
+there is no XLA-side inverse-layout pass left to delete; PERF_NOTES r4.)
+
 Workloads:
 * ENCODE — config 2: 100 MB, 64 KiB container blocks.  The kernels encode
   256-byte lanes (their VMEM sweet spot) and per-64Ki block bit lengths
@@ -136,6 +147,13 @@ def main() -> None:
         f"{n // CONTAINER_BLOCK} blocks of {CONTAINER_BLOCK} "
         f"({lanes_per_block} lanes of {LANE})")
 
+    def consume_words(words):
+        """Layout-forcing full reduction: u32 words -> u8 bitcast -> sum.
+        Forces materialization of every output element in its final
+        layout (see module docstring, HONEST CONSUMPTION)."""
+        wb = jax.lax.bitcast_convert_type(words[..., None], jnp.uint8)
+        return jnp.sum(wb.astype(jnp.int32)) & 0xFFFF
+
     # ---- encode (the config-2 metric: block-parallel encode = pass 2) ----
     def enc_iter(b, i, with_hist):
         # iteration salt: vary the final lane's valid length by one byte —
@@ -149,7 +167,7 @@ def main() -> None:
                                     canon_tables=canon_tabs,
                                     full_alphabet=full_alpha)
         block_bits = jnp.sum(bits.reshape(-1, lanes_per_block), axis=1)
-        acc = jnp.sum(block_bits)
+        acc = jnp.sum(block_bits) + consume_words(words)
         if with_hist:
             # the histogram has no varying operand of its own — xor-vary
             # its input (one elementwise pass, charged to the two-pass
@@ -177,7 +195,9 @@ def main() -> None:
     tp_gbps = n / max(tp_per, 1e-9) / 1e9
     log(f"two-pass per-iter {tp_per*1e3:.2f}ms -> {tp_gbps:.2f} GB/s")
 
-    # correctness: device words for lane 0 must match the scalar host packer
+    # correctness: device words for lane 0 must match the scalar host
+    # packer, and the FULL stitched 100 MiB payload must SHA-match the
+    # host C++ encoder (VERDICT r3 #8 — whole-payload, not spot-check)
     words, bits = encode_blocks(jlanes, dl, da, max_code_len=ML,
                                 canon_tables=canon_tabs,
                                 full_alphabet=full_alpha)
@@ -185,6 +205,24 @@ def main() -> None:
     got = words_to_payload(np.asarray(words[0]), int(bits[0]))
     assert got == ref, "device output mismatch vs host reference"
     log("encode bit-exactness vs host packer: OK")
+    try:
+        import hashlib
+
+        from tpuhuff import native
+        from tpuhuff.dist import stitch_words
+
+        if native.available():
+            payload, _pad = stitch_words(
+                np.asarray(words), np.asarray(bits).astype(np.uint64))
+            hpay, _ = native.encode(data, lens_lut, codes_lut)
+            assert (hashlib.sha256(payload).hexdigest()
+                    == hashlib.sha256(hpay).hexdigest()), \
+                "full-payload SHA mismatch vs host C++ encoder"
+            log("encode full-payload SHA vs host C++: OK")
+    except AssertionError:
+        raise
+    except Exception as e:
+        log(f"full-payload SHA check skipped: {type(e).__name__}: {e}")
 
     extra = {
         "workload": f"{DATA_MB}MiB textlike, block={CONTAINER_BLOCK}, "
@@ -192,6 +230,9 @@ def main() -> None:
         "two_pass_gbps": round(tp_gbps, 3),  # histogram pass + encode pass
         "encode_compile_s": round(enc_compile + tp_compile, 1),
         "max_code_len": ML,
+        "honest": "all outputs bitcast-reduced in the timed loops; r3's "
+                  "partial consumption let XLA DCE output-layout passes "
+                  "(decode overstated ~38%, PERF_NOTES r4)",
     }
 
     # ---- decode e2e: .hf2 --device product path at its default block ----
@@ -252,7 +293,13 @@ def main() -> None:
                     nb2 = nb.at[-1].add(-(i & 1))
                     o = decode_rows_fused(r, b0, nb2, jub, jdd, jperm,
                                           ml, DEC_BLOCK, unroll)
-                    return acc + o[0, 0].astype(jnp.int32) + o[-1, -1]
+                    # honest consumption: bitcast-reduce EVERY output byte
+                    # (corner-consume let XLA elide the output layout, r3)
+                    w32 = jax.lax.bitcast_convert_type(
+                        o.reshape(o.shape[0], o.shape[1] // 4, 4),
+                        jnp.uint32)
+                    return (acc + jnp.sum(w32.astype(jnp.int32))
+                            ).astype(jnp.int32) & 0xFFFF
                 return jax.lax.fori_loop(0, K, body, jnp.int32(0))
             return run
 
@@ -325,7 +372,11 @@ def main() -> None:
                         o = decode_rows_fused_general(
                             r, b0, nb2, jeytz, jsym, jlen,
                             DEC_BLOCK, unroll, levels=levels)
-                        return acc + o[0, 0].astype(jnp.int32) + o[-1, -1]
+                        w32 = jax.lax.bitcast_convert_type(
+                            o.reshape(o.shape[0], o.shape[1] // 4, 4),
+                            jnp.uint32)
+                        return (acc + jnp.sum(w32.astype(jnp.int32))
+                                ).astype(jnp.int32) & 0xFFFF
                     return jax.lax.fori_loop(0, K, body, jnp.int32(0))
                 return run
 

@@ -9,6 +9,7 @@ make a failure pass unless the format change is deliberate and documented.
 
 import hashlib
 import json
+import os
 
 import numpy as np
 import pytest
@@ -70,3 +71,47 @@ def test_numpy_and_native_encoders_agree(tmp_path):
         assert native.encode(data, lens, codes) == pack_codes_u8(
             data, lens, codes
         ), name
+
+
+class TestReferenceHffFixtures:
+    """Binary-origin .hff fixtures pinned from the reference's own docs
+    (tests/golden/README.md documents each byte's provenance)."""
+
+    GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "golden")
+    CASES = ("ref_abbccc", "ref_ffaacc", "ref_zzzzz")
+
+    def _paths(self, name):
+        return (os.path.join(self.GOLDEN, name + ".hff"),
+                os.path.join(self.GOLDEN, name + ".bin"))
+
+    def test_decode_reference_fixtures(self, tmp_path):
+        from tpuhuff.io.stream import read_decompress_write
+
+        for name in self.CASES:
+            hff, bin_ = self._paths(name)
+            out = tmp_path / (name + ".out")
+            read_decompress_write(hff, str(out))
+            assert out.read_bytes() == open(bin_, "rb").read(), name
+
+    def test_encode_matches_reference_fixtures(self, tmp_path):
+        # the u8/ByteWeights path is deterministic (ascending-byte heap
+        # seed + tie-faithful sift), so our .hff must be byte-identical
+        from tpuhuff.io.stream import read_compress_write
+
+        for name in self.CASES:
+            hff, bin_ = self._paths(name)
+            out = tmp_path / (name + ".hff")
+            read_compress_write(bin_, str(out))
+            assert out.read_bytes() == open(hff, "rb").read(), name
+
+    def test_library_container_matches(self):
+        import tpuhuff
+
+        for name in self.CASES:
+            hff, bin_ = self._paths(name)
+            data = open(bin_, "rb").read()
+            assert tpuhuff.compress(data).to_bytes() == \
+                open(hff, "rb").read(), name
+            cd = tpuhuff.CompressData.try_from_bytes(open(hff, "rb").read())
+            assert tpuhuff.decompress(cd) == data, name

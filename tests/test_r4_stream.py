@@ -1,0 +1,112 @@
+"""Round-4 stream tests: auto-index sidecar + pipelined device file paths."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpuhuff.io.stream import (
+    read_compress_write,
+    read_compress_write_hf2,
+    read_decompress_write,
+    read_decompress_write_hf2,
+)
+
+
+def _data(n=200_000, seed=3):
+    rng = np.random.default_rng(seed)
+    text = b"the quick brown fox jumps over the lazy dog 0123456789 "
+    base = np.frombuffer(text * (n // len(text) + 1), dtype=np.uint8)[:n]
+    base = base.copy()
+    idx = rng.integers(0, n, n // 32)
+    base[idx] = rng.integers(0, 256, idx.size, dtype=np.uint8)
+    return base
+
+
+def test_auto_index_sidecar_roundtrip(tmp_path):
+    pytest.importorskip("tpuhuff.native")
+    from tpuhuff import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    data = _data()
+    src = tmp_path / "a.bin"
+    src.write_bytes(data.tobytes())
+    hff = tmp_path / "a.hff"
+    read_compress_write(str(src), str(hff))
+    out = tmp_path / "a.out"
+    stats = {}
+    read_decompress_write(str(hff), str(out), auto_index=True, stats=stats)
+    assert out.read_bytes() == data.tobytes()
+    assert stats.get("auto_index") == "created"
+    sidecar = str(hff) + ".hf2x"
+    assert os.path.exists(sidecar)
+    # second decode reuses the sidecar (block-parallel path)
+    stats2 = {}
+    out2 = tmp_path / "a2.out"
+    read_decompress_write(str(hff), str(out2), auto_index=True, stats=stats2)
+    assert out2.read_bytes() == data.tobytes()
+    assert stats2.get("auto_index") == "reused"
+    # stale sidecar (older than source) is rebuilt
+    os.utime(sidecar, (1, 1))
+    stats3 = {}
+    read_decompress_write(str(hff), str(out2), auto_index=True, stats=stats3)
+    assert stats3.get("auto_index") == "created"
+    assert out2.read_bytes() == data.tobytes()
+
+
+def test_auto_index_disabled_leaves_no_sidecar(tmp_path):
+    data = _data(50_000)
+    src = tmp_path / "b.bin"
+    src.write_bytes(data.tobytes())
+    hff = tmp_path / "b.hff"
+    read_compress_write(str(src), str(hff))
+    out = tmp_path / "b.out"
+    read_decompress_write(str(hff), str(out), auto_index=False)
+    assert out.read_bytes() == data.tobytes()
+    assert not os.path.exists(str(hff) + ".hf2x")
+
+
+def test_pipelined_device_hf2_roundtrip_multichunk(tmp_path):
+    # chunk_bytes forces >= 4 pipelined chunks through submit/collect
+    data = _data(300_000, seed=9)
+    src = tmp_path / "c.bin"
+    src.write_bytes(data.tobytes())
+    hf2 = tmp_path / "c.hf2"
+    read_compress_write_hf2(str(src), str(hf2), device=True,
+                            chunk_bytes=64 * 1024, block_len=256)
+    out = tmp_path / "c.out"
+    read_decompress_write_hf2(str(hf2), str(out), device=True,
+                              chunk_bytes=64 * 1024)
+    assert out.read_bytes() == data.tobytes()
+    # device writer output is byte-identical to the host writer's at equal
+    # block_len (both canonicalize identically)
+    hf2h = tmp_path / "ch.hf2"
+    read_compress_write_hf2(str(src), str(hf2h), device=False, block_len=256)
+    assert hf2.read_bytes() == hf2h.read_bytes()
+
+
+def test_pipelined_device_hf2_tiny_and_ragged(tmp_path):
+    for n in (1, 255, 257, 4096 + 13):
+        data = _data(n, seed=n)
+        src = tmp_path / f"t{n}.bin"
+        src.write_bytes(data.tobytes())
+        hf2 = tmp_path / f"t{n}.hf2"
+        read_compress_write_hf2(str(src), str(hf2), device=True,
+                                chunk_bytes=2048, block_len=256)
+        out = tmp_path / f"t{n}.out"
+        read_decompress_write_hf2(str(hf2), str(out), device=True)
+        assert out.read_bytes() == data.tobytes(), n
+
+
+def test_cli_no_auto_index_flag(tmp_path, monkeypatch):
+    from tpuhuff.cli.main import main
+
+    data = _data(40_000)
+    src = tmp_path / "d.bin"
+    src.write_bytes(data.tobytes())
+    monkeypatch.chdir(tmp_path)
+    assert main(["-n", "d.bin"]) == 0
+    assert main(["-d", "-n", "--no-auto-index", "d.bin.hff", "d.out"]) == 0
+    assert (tmp_path / "d.out").read_bytes() == data.tobytes()
+    assert not os.path.exists(str(tmp_path / "d.bin.hff.hf2x"))

@@ -88,6 +88,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reindex", action="store_true",
                    help="Re-index an existing .hff into .hf2 without "
                    "recompressing (enables parallel/TPU decode)")
+    p.add_argument("--no-auto-index", action="store_true",
+                   help="Disable the automatic block-index sidecar for "
+                   "large .hff decodes (see io.stream.AUTO_INDEX_MIN)")
     p.add_argument("--threads", type=int, default=None,
                    help="Host decode/stitch threads (default: all cores)")
     p.add_argument("--stats", action="store_true",
@@ -192,7 +195,17 @@ def main(argv=None) -> int:
                                                      device=args.device,
                                                      stats=stats)
                 else:
-                    stream.read_decompress_write(src, dst, block_size)
+                    stream.read_decompress_write(
+                        src, dst, block_size,
+                        auto_index=False if args.no_auto_index else None,
+                        stats=stats)
+                    act = stats.get("auto_index")
+                    if act == "created":
+                        print(f"indexed {src!r} -> sidecar "
+                              f"'{src}.hf2x' (block-parallel decode; "
+                              f"reused on later decodes)")
+                    elif act == "reused":
+                        print(f"using block-index sidecar '{src}.hf2x'")
             else:
                 if args.hf2:
                     hf2_block = (parse_block_size(args.hf2_block)

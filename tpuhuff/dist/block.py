@@ -166,18 +166,18 @@ def sharded_decode_blocks(
     layout), sharded over ``BLOCK_AXIS``; decode tables replicate.  Every
     chip runs the canonical-ladder decoder on its blocks (the fused Pallas
     kernel on TPU, the XLA scan elsewhere); returns (B, block_len) uint8
-    with the same sharding.  Requires canonical codes (what the ``.hf2``
-    writers emit); B and the per-shard block count must be multiples of
-    8*128 for the Pallas route.
+    with the same sharding.  Non-canonical (foreign, e.g. reference-built
+    ``tree_inner.rs:422-440``) trees take the general interval-search
+    kernel instead (r4, VERDICT r3 missing #3) — same contract, ~2.7x
+    slower per symbol (PERF_NOTES r3 roofline).  B and the per-shard block
+    count must be multiples of 8*128 for the Pallas route.
     """
     from ..kernels.decode import (
-        decode_blocks_canonical, make_canonical_decode_tables,
+        decode_blocks_canonical, decode_blocks_device,
+        make_canonical_decode_tables, make_decode_tables,
     )
 
     canon = make_canonical_decode_tables(tree)
-    if canon is None:
-        raise ValueError("sharded_decode_blocks requires canonical codes")
-    ub, dd, perm4, ml = canon
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
@@ -186,23 +186,54 @@ def sharded_decode_blocks(
         unroll = next(s for s in ((16, 8, 4, 2, 1) if on_tpu else (1,))
                       if block_len % s == 0)
 
-    if on_tpu:
-        from ..kernels.pallas_decode import decode_rows_fused, make_fused_tables
+    if canon is not None:
+        ub, dd, perm4, ml = canon
+        if on_tpu:
+            from ..kernels.pallas_decode import (
+                decode_rows_fused, make_fused_tables,
+            )
 
-        t1, t2, t3 = make_fused_tables(ub, dd, perm4)
+            t1, t2, t3 = make_fused_tables(ub, dd, perm4)
 
-        def shard(r, b0, nb, a1, a2, a3):
-            return decode_rows_fused(r, b0, nb, a1, a2, a3, ml, block_len,
-                                     unroll)
+            def shard(r, b0, nb, a1, a2, a3):
+                return decode_rows_fused(r, b0, nb, a1, a2, a3, ml,
+                                         block_len, unroll)
 
-        tabs = (t1, t2, t3)
+            tabs = (t1, t2, t3)
+        else:
+            def shard(r, b0, nb, a1, a2, a3):
+                out = decode_blocks_canonical(r, b0, nb, a1, a2, a3, ml,
+                                              block_len, unroll)
+                return out.astype(jnp.uint8)
+
+            tabs = (ub, dd, perm4)
     else:
-        def shard(r, b0, nb, a1, a2, a3):
-            out = decode_blocks_canonical(r, b0, nb, a1, a2, a3, ml,
-                                          block_len, unroll)
-            return out.astype(jnp.uint8)
+        thr, sym4, len4 = make_decode_tables(tree)
+        lens_lut, _ = tree.encode_tables()
+        n_leaves = int((np.asarray(lens_lut) > 0).sum())
+        levels = max(1, (max(n_leaves, 2) - 1).bit_length())
+        if on_tpu:
+            from ..kernels.pallas_decode import (
+                decode_rows_fused_general, make_general_fused_tables,
+            )
 
-        tabs = (ub, dd, perm4)
+            t1, t2, t3 = make_general_fused_tables(thr, sym4, len4)
+
+            def shard(r, b0, nb, a1, a2, a3):
+                return decode_rows_fused_general(r, b0, nb, a1, a2, a3,
+                                                 block_len, unroll,
+                                                 levels=levels)
+
+            tabs = (t1, t2, t3)
+        else:
+            jthr = jnp.asarray(np.asarray(thr), jnp.uint32)
+
+            def shard(r, b0, nb, a1, a2, a3):
+                out = decode_blocks_device(r, b0, nb, a1, a2, a3,
+                                           block_len, unroll)
+                return out.astype(jnp.uint8)
+
+            tabs = (jthr, sym4, len4)
 
     fn = jax.shard_map(
         shard, mesh=mesh,

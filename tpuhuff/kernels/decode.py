@@ -406,7 +406,7 @@ def decode_blocks_canonical(
 
 def decode_rows_device(
     rows, bit0, nbits, tree: HuffTree, block_len: int,
-    unroll: int | None = None,
+    unroll: int | None = None, as_jax: bool = False,
 ) -> np.ndarray:
     """Decode per-lane word rows with the best available device path:
 
@@ -418,7 +418,9 @@ def decode_rows_device(
     3. XLA general interval scan.
 
     Override with ``TPUHUFF_DECODER=xla|pallas``.  Returns (B, block_len)
-    uint8 (numpy).
+    uint8 (numpy) — or, with ``as_jax``, the not-yet-synced device array
+    (JAX dispatch is async, so the caller can overlap the D2H of one
+    group with the kernel of the next — the r4 pipelined file path).
     """
     import os
 
@@ -445,6 +447,7 @@ def decode_rows_device(
             return decode_blocks_pallas_canonical(
                 np.asarray(rows), np.asarray(bit0), np.asarray(nbits),
                 ub, dd, perm4, ml, block_len, unroll=unroll, interpret=interp,
+                as_jax=as_jax,
             )
         from .pallas_decode import (
             LANES, SUB, decode_rows_fused_general, make_general_fused_tables,
@@ -468,7 +471,7 @@ def decode_rows_device(
             jnp.asarray(rows_p), jnp.asarray(bit0_p), jnp.asarray(nbits_p),
             eytz, s4, l4, block_len, unroll, interp, levels,
         )
-        return np.asarray(out[:B])
+        return out[:B] if as_jax else np.asarray(out[:B])
     if canon is not None:
         ub, dd, perm4, ml = canon
         out = decode_blocks_canonical(
@@ -481,7 +484,7 @@ def decode_rows_device(
             jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(nbits),
             thr, sym4, len4, block_len, unroll=unroll,
         )
-    return np.asarray(out)
+    return out if as_jax else np.asarray(out)
 
 
 def decode_hf2_device(header, payload: bytes, unroll: int | None = None) -> bytes:

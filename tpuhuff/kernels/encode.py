@@ -357,11 +357,13 @@ def _auto_transposed(transposed):
 
 
 # VMEM ceiling for the fused Pallas encode route.  Per grid cell the kernel
-# holds the (N/2, 128) int32 input block, the equal-size output words, and
-# 2-3 live merge temporaries — ~4 * (N/2 * 128 * 4) bytes.  N = 2048 keeps
-# that ~2 MB, comfortably inside the ~16 MB/core budget; larger N must take
-# the XLA merge (HW parity was only ever validated at N <= 1024).
-PALLAS_MAX_BLOCK = 2048
+# holds the (N/2, 128) int32 input block, the output words, 2-3 live merge
+# temporaries, and (since r4) the transpose identity + transposed output.
+# N = 2048 with the transposed out layout measured a hard Mosaic scoped-
+# vmem OOM on v5e (21.26M > 16M limit, r4 s1) — the cap is what hardware
+# validation supports: N = 1024 compiles and is full-payload bit-exact
+# (r4 s2).  Larger N takes the XLA merge.
+PALLAS_MAX_BLOCK = 1024
 
 
 def _auto_pallas(pallas):

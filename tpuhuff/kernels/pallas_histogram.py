@@ -58,12 +58,19 @@ import os as _os
 # max(16G/128, 1)^2 * K with K = slab/G: G=8 packs the 8 groups x 16x16
 # nibble bins into EXACTLY one 128x128 MXU tile — half the MXU time of the
 # r3 G=16 (256x256 = 4 tiles) form at identical VPU compare cost (r4
-# probe s1: 2.35 ms vs 3.18 ms per 100 MiB -> 44.6 GB/s).  Resolved at
+# probe s1: 2.62 ms vs 3.15 ms per 100 MiB -> 40.1 GB/s).  Resolved at
 # import; TPUHUFF_HIST_G=16 restores the old form for A/B.
 HIST_G = 8 if _os.environ.get("TPUHUFF_HIST_G", "8") != "16" else 16
+# build the one-hot compares in the uint8 domain (4x VPU lane density on
+# the compare-bound part) instead of int32.  NEGATIVE RESULT on this
+# backend: Mosaic rejects BOTH i8-vector shifts (arith.shrui, r4 s2) and
+# i8-vector compares (arith.cmpi on vector<...xi8>, r4 s3), so the u8
+# route cannot compile on hardware — default OFF; the code path is kept
+# (interpret-verified) for backends that grow i8 VPU support.
+HIST_U8 = _os.environ.get("TPUHUFF_HIST_U8", "0") == "1"
 
 
-def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int):
+def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int, u8: bool):
     i = pl.program_id(0)
     np_ = pl.num_programs(0)
 
@@ -72,33 +79,43 @@ def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int):
         acci_ref[:] = jnp.zeros_like(acci_ref)
 
     T = ROWS * 128 // G
+    dt = jnp.uint8 if u8 else jnp.int32
     sub = jax.lax.broadcasted_iota(jnp.int32, (16 * G, T), 0)
-    binv = sub >> (G.bit_length() - 1)
+    binv_i = sub >> (G.bit_length() - 1)
+    binv = binv_i.astype(dt)
+    # u8 mode compares the UNSHIFTED high nibble against pre-shifted bin
+    # values: Mosaic rejects shifts on i8 vectors (arith.shrui, r4 s2)
+    # but accepts bitwise AND and compares at the 4x i8 lane density
+    binv_hi = (binv_i << 4).astype(dt)
     for q in range(4):
-        p = w_ref[ROWS * q : ROWS * (q + 1), :].astype(jnp.int32)
+        p = w_ref[ROWS * q : ROWS * (q + 1), :].astype(dt)
         sG = jnp.concatenate(
             [p[G * k : G * (k + 1)] for k in range(ROWS // G)], axis=1
         )  # (G, T)
         r = jnp.concatenate([sG] * 16, axis=0)  # (16G, T) tile-stacked
+        if u8:
+            hi = (r & jnp.uint8(0xF0)) == binv_hi
+            lo = (r & jnp.uint8(0x0F)) == binv
+        else:
+            hi = (r >> 4) == binv
+            lo = (r & 15) == binv
         if i8:
             # int8 operands + int32 accumulation: 2x the bf16 MXU K-rate
             # (r3 s6: 3.21 ms vs 4.88 ms per 100 MiB) and exact at any
             # size with no f32 spill.  NOTE preferred_element_type must
             # be int32 — int8 operands with f32 accumulation crash this
             # backend's remote compiler (r3 s2).
-            a = ((r >> 4) == binv).astype(jnp.int8)
-            b = ((r & 15) == binv).astype(jnp.int8)
             acci_ref[:] += jax.lax.dot_general(
-                a, b, (((1,), (1,)), ((), ())),
+                hi.astype(jnp.int8), lo.astype(jnp.int8),
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
         else:
-            a = ((r >> 4) == binv).astype(jnp.bfloat16)
-            b = ((r & 15) == binv).astype(jnp.bfloat16)
             # f32 accumulation of one cell is exact (<= 2^17 per entry);
             # the i32 accumulator absorbs it every cell
             acci_ref[:] += jax.lax.dot_general(
-                a, b, (((1,), (1,)), ((), ())),
+                hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
 
@@ -107,15 +124,17 @@ def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int):
         o_ref[:] = acci_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "G"))
+@functools.partial(jax.jit, static_argnames=("interpret", "G", "u8"))
 def _hist_call(bytes2d: jnp.ndarray, interpret: bool = False,
-               G: int | None = None) -> jnp.ndarray:
+               G: int | None = None, u8: bool | None = None) -> jnp.ndarray:
     cells = bytes2d.shape[0] // U8_ROWS
     i8 = _os.environ.get("TPUHUFF_HIST_DOT", "i8") != "bf16"
     if G is None:
         G = HIST_G
+    if u8 is None:
+        u8 = HIST_U8
     return pl.pallas_call(
-        functools.partial(_hist_kernel, i8=i8, G=G),
+        functools.partial(_hist_kernel, i8=i8, G=G, u8=u8),
         grid=(cells,),
         in_specs=[pl.BlockSpec((U8_ROWS, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -138,10 +157,11 @@ def _finalize(C: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("kgjg->kj", C4).reshape(256)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "G"))
+@functools.partial(jax.jit, static_argnames=("interpret", "G", "u8"))
 def histogram_pallas(data: jnp.ndarray,
                      interpret: bool = False,
-                     G: int | None = None) -> jnp.ndarray:
+                     G: int | None = None,
+                     u8: bool | None = None) -> jnp.ndarray:
     """(..., n) uint8 -> (256,) int32 exact histogram (TPU Pallas).
 
     Pads the stream with zero bytes up to a whole number of 128 KiB cells
@@ -154,7 +174,7 @@ def histogram_pallas(data: jnp.ndarray,
     padded_n = -(-max(n, 1) // CELL_BYTES) * CELL_BYTES
     if padded_n != n:
         flat = jnp.pad(flat, (0, padded_n - n))
-    hist = _finalize(_hist_call(flat.reshape(-1, 128), interpret, G))
+    hist = _finalize(_hist_call(flat.reshape(-1, 128), interpret, G, u8))
     if padded_n != n:
         hist = hist.at[0].add(-(padded_n - n))
     return hist.astype(jnp.int32)
