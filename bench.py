@@ -81,21 +81,24 @@ def make_textlike(n: int) -> np.ndarray:
     return base
 
 
-def kslope(make, arg, label):
-    """Per-iteration device seconds via the K2-vs-K1 fori_loop slope."""
+def kslope(run, arg, label):
+    """Per-iteration device seconds via the K2-vs-K1 fori_loop slope.
+
+    ``run(arg, K)`` takes the iteration count as a TRACED scalar (r4):
+    one compiled program serves both K points, halving the cold-compile
+    bill vs the r3 per-K specialization (VERDICT r3 #3)."""
     times = {}
     compile_s = 0.0
     for K in (K1, K2):
-        f = make(K)
         t0 = time.time()
-        int(f(arg))
+        int(run(arg, K))
         dt = time.time() - t0
         compile_s += dt
         log(f"{label} K={K}: compile+first {dt:.1f}s")
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            int(f(arg))
+            int(run(arg, K))
             best = min(best, time.perf_counter() - t0)
         times[K] = best
         log(f"{label} K={K}: best total {best*1e3:.1f}ms")
@@ -176,15 +179,13 @@ def main() -> None:
         return acc.astype(jnp.int32) & 0xFFFF
 
     def enc_make(with_hist):
-        def make(K):
-            @jax.jit
-            def run(b):
-                return jax.lax.fori_loop(
-                    0, K,
-                    lambda i, acc: acc + enc_iter(b, i, with_hist),
-                    jnp.int32(0))
-            return run
-        return make
+        @jax.jit
+        def run(b, K):
+            return jax.lax.fori_loop(
+                0, K,
+                lambda i, acc: acc + enc_iter(b, i, with_hist),
+                jnp.int32(0))
+        return run
 
     enc_per, enc_compile = kslope(enc_make(False), jlanes, "encode")
     enc_gbps = n / max(enc_per, 1e-9) / 1e9
@@ -280,30 +281,28 @@ def main() -> None:
         assert np.array_equal(out[:Bd].reshape(-1), data), "decode mismatch"
         log("decode bit-exactness (fused e2e): OK")
 
-        def dec_make(K):
-            @jax.jit
-            def run(args):
-                r, b0, nb = args
+        @jax.jit
+        def dec_run(args, K):
+            r, b0, nb = args
 
-                def body(i, acc):
-                    # iteration salt: shorten the last block by i&1 bits —
-                    # the program re-executes fully while the word rows
-                    # stay put (rolling the (B, W) u32 rows is a
-                    # minor-dim-17 layout hazard, PERF_NOTES r3)
-                    nb2 = nb.at[-1].add(-(i & 1))
-                    o = decode_rows_fused(r, b0, nb2, jub, jdd, jperm,
-                                          ml, DEC_BLOCK, unroll)
-                    # honest consumption: bitcast-reduce EVERY output byte
-                    # (corner-consume let XLA elide the output layout, r3)
-                    w32 = jax.lax.bitcast_convert_type(
-                        o.reshape(o.shape[0], o.shape[1] // 4, 4),
-                        jnp.uint32)
-                    return (acc + jnp.sum(w32.astype(jnp.int32))
-                            ).astype(jnp.int32) & 0xFFFF
-                return jax.lax.fori_loop(0, K, body, jnp.int32(0))
-            return run
+            def body(i, acc):
+                # iteration salt: shorten the last block by i&1 bits —
+                # the program re-executes fully while the word rows
+                # stay put (rolling the (B, W) u32 rows is a
+                # minor-dim-17 layout hazard, PERF_NOTES r3)
+                nb2 = nb.at[-1].add(-(i & 1))
+                o = decode_rows_fused(r, b0, nb2, jub, jdd, jperm,
+                                      ml, DEC_BLOCK, unroll)
+                # honest consumption: bitcast-reduce EVERY output byte
+                # (corner-consume let XLA elide the output layout, r3)
+                w32 = jax.lax.bitcast_convert_type(
+                    o.reshape(o.shape[0], o.shape[1] // 4, 4),
+                    jnp.uint32)
+                return (acc + jnp.sum(w32.astype(jnp.int32))
+                        ).astype(jnp.int32) & 0xFFFF
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
-        dec_per, dec_compile = kslope(dec_make, (jrows, jbit0, jnbits),
+        dec_per, dec_compile = kslope(dec_run, (jrows, jbit0, jnbits),
                                       "decode")
         dec_gbps = n / max(dec_per, 1e-9) / 1e9
         log(f"decode per-iter {dec_per*1e3:.2f}ms -> {dec_gbps:.2f} GB/s "
@@ -362,25 +361,23 @@ def main() -> None:
                 "general decode mismatch"
             log("general-tree decode bit-exactness: OK")
 
-            def gdec_make(K):
-                @jax.jit
-                def run(args):
-                    r, b0, nb = args
+            @jax.jit
+            def gdec_run(args, K):
+                r, b0, nb = args
 
-                    def body(i, acc):
-                        nb2 = nb.at[-1].add(-(i & 1))
-                        o = decode_rows_fused_general(
-                            r, b0, nb2, jeytz, jsym, jlen,
-                            DEC_BLOCK, unroll, levels=levels)
-                        w32 = jax.lax.bitcast_convert_type(
-                            o.reshape(o.shape[0], o.shape[1] // 4, 4),
-                            jnp.uint32)
-                        return (acc + jnp.sum(w32.astype(jnp.int32))
-                                ).astype(jnp.int32) & 0xFFFF
-                    return jax.lax.fori_loop(0, K, body, jnp.int32(0))
-                return run
+                def body(i, acc):
+                    nb2 = nb.at[-1].add(-(i & 1))
+                    o = decode_rows_fused_general(
+                        r, b0, nb2, jeytz, jsym, jlen,
+                        DEC_BLOCK, unroll, levels=levels)
+                    w32 = jax.lax.bitcast_convert_type(
+                        o.reshape(o.shape[0], o.shape[1] // 4, 4),
+                        jnp.uint32)
+                    return (acc + jnp.sum(w32.astype(jnp.int32))
+                            ).astype(jnp.int32) & 0xFFFF
+                return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
-            gdec_per, _gc = kslope(gdec_make, (gjrows, gjbit0, gjnbits),
+            gdec_per, _gc = kslope(gdec_run, (gjrows, gjbit0, gjnbits),
                                    "decode-general")
             gdec_gbps = gn / max(gdec_per, 1e-9) / 1e9
             log(f"general decode {gdec_per*1e3:.2f}ms -> "
@@ -454,12 +451,21 @@ def bench_files(extra: dict) -> None:
         out1 = os.path.join(td, "b.out")
         dt = timed(read_compress_write, src, hff)
         extra["file_compress_hff_gbps"] = round(n / dt / 1e9, 3)
+        # first decode auto-builds the block-index sidecar (one extra DFA
+        # pass, r4 VERDICT #4); the second reuses it block-parallel — the
+        # steady-state number for repeatedly-read archives
         dt = timed(read_decompress_write, hff, out1)
         extra["file_decompress_hff_gbps"] = round(n / dt / 1e9, 3)
         with open(out1, "rb") as f:
             assert f.read() == data.tobytes(), "hff file roundtrip mismatch"
+        dt = timed(read_decompress_write, hff, out1)
+        extra["file_decompress_hff_indexed_gbps"] = round(n / dt / 1e9, 3)
+        with open(out1, "rb") as f:
+            assert f.read() == data.tobytes(), "hff indexed decode mismatch"
         log(f"file .hff host: compress {extra['file_compress_hff_gbps']} "
-            f"GB/s, decompress {extra['file_decompress_hff_gbps']} GB/s")
+            f"GB/s, decompress {extra['file_decompress_hff_gbps']} GB/s "
+            f"(first; auto-index), "
+            f"{extra['file_decompress_hff_indexed_gbps']} GB/s (indexed)")
 
         if os.environ.get("BENCH_DEVICE_FILE", "1") == "1":
             dmb = int(os.environ.get("BENCH_DEVICE_FILE_MB", "16"))
