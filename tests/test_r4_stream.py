@@ -110,3 +110,50 @@ def test_cli_no_auto_index_flag(tmp_path, monkeypatch):
     assert main(["-d", "-n", "--no-auto-index", "d.bin.hff", "d.out"]) == 0
     assert (tmp_path / "d.out").read_bytes() == data.tobytes()
     assert not os.path.exists(str(tmp_path / "d.bin.hff.hf2x"))
+
+
+def test_hist_sample_fast_mode_exact_roundtrip(tmp_path):
+    # sampled+smoothed tree: output must stay EXACTLY decodable; ratio
+    # degrades only marginally on stationary data
+    data = _data(400_000, seed=21)
+    src = tmp_path / "s.bin"
+    src.write_bytes(data.tobytes())
+    full = tmp_path / "full.hf2"
+    samp = tmp_path / "samp.hf2"
+    read_compress_write_hf2(str(src), str(full))
+    read_compress_write_hf2(str(src), str(samp), hist_sample=8,
+                            chunk_bytes=32 * 1024)
+    out = tmp_path / "s.out"
+    read_decompress_write_hf2(str(samp), str(out))
+    assert out.read_bytes() == data.tobytes()
+    ratio = os.path.getsize(samp) / os.path.getsize(full)
+    assert ratio < 1.02, ratio  # < 2% worse on this corpus
+
+
+def test_hist_sample_covers_unsampled_bytes(tmp_path):
+    # a byte value that appears ONLY outside the sampled prefixes still
+    # round-trips (the Laplace smoothing guarantees it has a code)
+    n = 64 * 1024
+    data = np.zeros(n, np.uint8)
+    data[:] = 65
+    data[-7:] = 255  # never in any sampled prefix at hist_sample=8
+    src = tmp_path / "c.bin"
+    src.write_bytes(data.tobytes())
+    hf2 = tmp_path / "c.hf2"
+    read_compress_write_hf2(str(src), str(hf2), hist_sample=8,
+                            chunk_bytes=16 * 1024)
+    out = tmp_path / "c.out"
+    read_decompress_write_hf2(str(hf2), str(out))
+    assert out.read_bytes() == data.tobytes()
+
+
+def test_hist_sample_device_roundtrip(tmp_path):
+    data = _data(200_000, seed=22)
+    src = tmp_path / "d.bin"
+    src.write_bytes(data.tobytes())
+    hf2 = tmp_path / "d.hf2"
+    read_compress_write_hf2(str(src), str(hf2), device=True, hist_sample=4,
+                            chunk_bytes=64 * 1024, block_len=256)
+    out = tmp_path / "d.out"
+    read_decompress_write_hf2(str(hf2), str(out), device=True)
+    assert out.read_bytes() == data.tobytes()

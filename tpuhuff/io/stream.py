@@ -539,6 +539,7 @@ def read_compress_write_hf2(
     src_path: str, dst_path: str, block_len: int | None = None,
     device: bool = False, canonical: bool = True,
     chunk_bytes: int | None = None, stats: dict | None = None,
+    hist_sample: int = 1,
 ) -> None:
     """Compress into the block-indexed ``.hf2`` container — STREAMING.
 
@@ -555,6 +556,15 @@ def read_compress_write_hf2(
     path applies (`kernels.decode.decode_blocks_canonical`).  Host and
     device writers canonicalize identically, so their outputs stay
     byte-equal at equal ``block_len``.
+
+    ``hist_sample`` (r4, opt-in fast mode): count only the first
+    ``1/hist_sample`` of every chunk in pass 1 and Laplace-smooth the
+    counts (+1 every bin) before the tree build.  The smoothing makes the
+    alphabet complete, so the encode pass can never hit a missing letter
+    — the container stays exactly decodable; only the tree's optimality
+    (compression ratio) degrades, typically < 1% on stationary data.
+    Pass-1 cost drops ~``hist_sample``x, moving whole-file device
+    compress toward the pure encode rate (config 4's fast path).
     """
     from ..core.canonical import build_tree_for_device, canonicalize
 
@@ -572,6 +582,13 @@ def read_compress_write_hf2(
         # accumulation stays on device until one final 256-int transfer.
         bw = ByteWeights()
         left = size
+        samp = max(1, int(hist_sample))
+
+        def sampled(piece: bytes) -> bytes:
+            # chunk-prefix sampling: zero layout cost, one sample region
+            # per `step` bytes of file
+            return piece if samp == 1 else piece[: max(1, len(piece) // samp)]
+
         if device:
             import jax.numpy as jnp
 
@@ -584,8 +601,8 @@ def read_compress_write_hf2(
                 left -= len(piece)
                 handle = None
                 if piece:
-                    handle = histogram(
-                        jnp.asarray(np.frombuffer(piece, dtype=np.uint8)))
+                    handle = histogram(jnp.asarray(
+                        np.frombuffer(sampled(piece), dtype=np.uint8)))
                 if pending is not None:
                     acc = pending if acc is None else acc + pending
                 pending = handle
@@ -598,8 +615,12 @@ def read_compress_write_hf2(
                 piece = src.read(min(step, left))
                 if not piece:
                     break
-                bw += ByteWeights.from_bytes(piece)
+                bw += ByteWeights.from_bytes(sampled(piece))
                 left -= len(piece)
+        if samp > 1 and size > 0:
+            # Laplace smoothing: a complete alphabet guarantees the encode
+            # pass cannot hit an unsampled (code-less) byte
+            bw = ByteWeights(bw.counts + 1)
         if device:
             # device codewords live in u32 lanes: length-limit deep trees
             tree, _limited = build_tree_for_device(bw, max_len=32)

@@ -68,9 +68,17 @@ HIST_G = 8 if _os.environ.get("TPUHUFF_HIST_G", "8") != "16" else 16
 # route cannot compile on hardware — default OFF; the code path is kept
 # (interpret-verified) for backends that grow i8 VPU support.
 HIST_U8 = _os.environ.get("TPUHUFF_HIST_U8", "0") == "1"
+# build the compares in bfloat16 (2x VPU lane density vs i32; byte values
+# and their /16 quotients are exact in bf16's 8 significand bits).
+# NEGATIVE RESULT on this backend: Mosaic rejects bf16 VECTOR compares
+# too (arith.cmpf on vector<...xbf16>, r4 s6) — alongside the i8 shift
+# and i8 compare rejections, sub-32-bit VPU compare density is simply
+# unavailable here.  Default OFF; interpret-verified path kept.
+HIST_BF16 = _os.environ.get("TPUHUFF_HIST_BF16", "0") == "1"
 
 
-def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int, u8: bool):
+def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int, u8: bool,
+                 bf16cmp: bool = False):
     i = pl.program_id(0)
     np_ = pl.num_programs(0)
 
@@ -79,7 +87,8 @@ def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int, u8: bool):
         acci_ref[:] = jnp.zeros_like(acci_ref)
 
     T = ROWS * 128 // G
-    dt = jnp.uint8 if u8 else jnp.int32
+    dt = (jnp.uint8 if u8 else
+          jnp.bfloat16 if bf16cmp else jnp.int32)
     sub = jax.lax.broadcasted_iota(jnp.int32, (16 * G, T), 0)
     binv_i = sub >> (G.bit_length() - 1)
     binv = binv_i.astype(dt)
@@ -88,7 +97,10 @@ def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int, u8: bool):
     # but accepts bitwise AND and compares at the 4x i8 lane density
     binv_hi = (binv_i << 4).astype(dt)
     for q in range(4):
-        p = w_ref[ROWS * q : ROWS * (q + 1), :].astype(dt)
+        pq = w_ref[ROWS * q : ROWS * (q + 1), :]
+        # Mosaic has no direct u8->bf16 cast — hop through i32 (r4 s5)
+        p = (pq.astype(jnp.int32).astype(dt) if bf16cmp
+             else pq.astype(dt))
         sG = jnp.concatenate(
             [p[G * k : G * (k + 1)] for k in range(ROWS // G)], axis=1
         )  # (G, T)
@@ -96,6 +108,14 @@ def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int, u8: bool):
         if u8:
             hi = (r & jnp.uint8(0xF0)) == binv_hi
             lo = (r & jnp.uint8(0x0F)) == binv
+        elif bf16cmp:
+            # nibble split without integer ops: r/16 is a power-of-two
+            # scale (exact), floor recovers the hi nibble, the remainder
+            # the lo nibble — all values <= 255 exact in bf16
+            hi_f = jnp.floor(r * jnp.bfloat16(1.0 / 16.0))
+            lo_f = r - hi_f * jnp.bfloat16(16.0)
+            hi = hi_f == binv
+            lo = lo_f == binv
         else:
             hi = (r >> 4) == binv
             lo = (r & 15) == binv
@@ -124,17 +144,21 @@ def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int, u8: bool):
         o_ref[:] = acci_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "G", "u8"))
+@functools.partial(jax.jit, static_argnames=("interpret", "G", "u8",
+                                              "bf16cmp"))
 def _hist_call(bytes2d: jnp.ndarray, interpret: bool = False,
-               G: int | None = None, u8: bool | None = None) -> jnp.ndarray:
+               G: int | None = None, u8: bool | None = None,
+               bf16cmp: bool | None = None) -> jnp.ndarray:
     cells = bytes2d.shape[0] // U8_ROWS
     i8 = _os.environ.get("TPUHUFF_HIST_DOT", "i8") != "bf16"
     if G is None:
         G = HIST_G
     if u8 is None:
         u8 = HIST_U8
+    if bf16cmp is None:
+        bf16cmp = HIST_BF16 and not u8
     return pl.pallas_call(
-        functools.partial(_hist_kernel, i8=i8, G=G, u8=u8),
+        functools.partial(_hist_kernel, i8=i8, G=G, u8=u8, bf16cmp=bf16cmp),
         grid=(cells,),
         in_specs=[pl.BlockSpec((U8_ROWS, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -157,11 +181,13 @@ def _finalize(C: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("kgjg->kj", C4).reshape(256)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "G", "u8"))
+@functools.partial(jax.jit, static_argnames=("interpret", "G", "u8",
+                                              "bf16cmp"))
 def histogram_pallas(data: jnp.ndarray,
                      interpret: bool = False,
                      G: int | None = None,
-                     u8: bool | None = None) -> jnp.ndarray:
+                     u8: bool | None = None,
+                     bf16cmp: bool | None = None) -> jnp.ndarray:
     """(..., n) uint8 -> (256,) int32 exact histogram (TPU Pallas).
 
     Pads the stream with zero bytes up to a whole number of 128 KiB cells
@@ -174,7 +200,8 @@ def histogram_pallas(data: jnp.ndarray,
     padded_n = -(-max(n, 1) // CELL_BYTES) * CELL_BYTES
     if padded_n != n:
         flat = jnp.pad(flat, (0, padded_n - n))
-    hist = _finalize(_hist_call(flat.reshape(-1, 128), interpret, G, u8))
+    hist = _finalize(_hist_call(flat.reshape(-1, 128), interpret, G, u8,
+                                bf16cmp))
     if padded_n != n:
         hist = hist.at[0].add(-(padded_n - n))
     return hist.astype(jnp.int32)
