@@ -126,6 +126,19 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} ({jax.default_backend()})")
 
+    # first Mosaic compile of a session pays the remote compile-helper's
+    # cold start on this rig (measured 70-131 s, unrelated to program
+    # size; subsequent compiles 0.2-5 s).  Warm it with a tiny kernel so
+    # the per-program compile numbers below measure the programs.
+    helper_warmup_s = 0.0
+    try:
+        t0 = time.time()
+        int(histogram(jnp.zeros(2 << 20, jnp.uint8))[0])
+        helper_warmup_s = time.time() - t0
+        log(f"compile-helper warmup: {helper_warmup_s:.1f}s")
+    except Exception as e:
+        log(f"warmup skipped: {type(e).__name__}: {e}")
+
     n = DATA_MB << 20
     data = make_textlike(n)
     assert n % CONTAINER_BLOCK == 0 and CONTAINER_BLOCK % LANE == 0
@@ -158,7 +171,7 @@ def main() -> None:
         return jnp.sum(wb.astype(jnp.int32)) & 0xFFFF
 
     # ---- encode (the config-2 metric: block-parallel encode = pass 2) ----
-    def enc_iter(b, i, with_hist):
+    def enc_iter(b, i, with_hist, hist_frac=1):
         # iteration salt: vary the final lane's valid length by one byte —
         # the encode program re-executes fully each iteration (its operands
         # change) while the input buffer stays put.  The r2 bench varied by
@@ -174,16 +187,19 @@ def main() -> None:
         if with_hist:
             # the histogram has no varying operand of its own — xor-vary
             # its input (one elementwise pass, charged to the two-pass
-            # metric; layout-preserving, unlike roll)
-            acc = acc + histogram(b ^ (i & 255).astype(jnp.uint8))[0]
+            # metric; layout-preserving, unlike roll).  hist_frac > 1 is
+            # the product's --hist-sample fast mode (prefix sampling +
+            # Laplace smoothing; io.stream.read_compress_write_hf2)
+            hb = b[: B // hist_frac] if hist_frac > 1 else b
+            acc = acc + histogram(hb ^ (i & 255).astype(jnp.uint8))[0]
         return acc.astype(jnp.int32) & 0xFFFF
 
-    def enc_make(with_hist):
+    def enc_make(with_hist, hist_frac=1):
         @jax.jit
         def run(b, K):
             return jax.lax.fori_loop(
                 0, K,
-                lambda i, acc: acc + enc_iter(b, i, with_hist),
+                lambda i, acc: acc + enc_iter(b, i, with_hist, hist_frac),
                 jnp.int32(0))
         return run
 
@@ -195,6 +211,13 @@ def main() -> None:
     tp_per, tp_compile = kslope(enc_make(True), jlanes, "two-pass")
     tp_gbps = n / max(tp_per, 1e-9) / 1e9
     log(f"two-pass per-iter {tp_per*1e3:.2f}ms -> {tp_gbps:.2f} GB/s")
+    # the --hist-sample 8 fast mode (sampled+smoothed tree, output still
+    # exactly decodable — io/stream.py): pass 1 shrinks 8x
+    tps_per, tps_compile = kslope(enc_make(True, 8), jlanes,
+                                  "two-pass-sampled")
+    tps_gbps = n / max(tps_per, 1e-9) / 1e9
+    log(f"two-pass (hist-sample 8) {tps_per*1e3:.2f}ms -> "
+        f"{tps_gbps:.2f} GB/s")
 
     # correctness: device words for lane 0 must match the scalar host
     # packer, and the FULL stitched 100 MiB payload must SHA-match the
@@ -229,7 +252,10 @@ def main() -> None:
         "workload": f"{DATA_MB}MiB textlike, block={CONTAINER_BLOCK}, "
                     f"lane={LANE}",
         "two_pass_gbps": round(tp_gbps, 3),  # histogram pass + encode pass
+        "two_pass_sampled_gbps": round(tps_gbps, 3),  # --hist-sample 8 mode
         "encode_compile_s": round(enc_compile + tp_compile, 1),
+        "sampled_compile_s": round(tps_compile, 1),
+        "helper_warmup_s": round(helper_warmup_s, 1),
         "max_code_len": ML,
         "honest": "all outputs bitcast-reduced in the timed loops; r3's "
                   "partial consumption let XLA DCE output-layout passes "

@@ -44,12 +44,16 @@ def test_layout_knobs_resolved_at_import():
 
     from tpuhuff.kernels import pallas_encode2 as pe2
 
-    # flipping the env mid-process must NOT change the traced route
+    # flipping the env mid-process must NOT change the import-resolved
+    # value (whatever it legitimately was at interpreter start — a
+    # pre-set TPUHUFF_ENC_LAYOUT is a supported A/B configuration)
+    before = pe2.ENC_LAYOUT
     old = os.environ.get("TPUHUFF_ENC_LAYOUT")
     try:
-        os.environ["TPUHUFF_ENC_LAYOUT"] = "flat"
-        assert pe2.ENC_LAYOUT == "fused"
-        assert pe2.fused_layout_ok(256, 14)
+        os.environ["TPUHUFF_ENC_LAYOUT"] = (
+            "flat" if before == "fused" else "fused")
+        assert pe2.ENC_LAYOUT == before
+        assert pe2.fused_layout_ok(256, 14) == (before == "fused")
     finally:
         if old is None:
             os.environ.pop("TPUHUFF_ENC_LAYOUT", None)

@@ -157,3 +157,71 @@ def test_hist_sample_device_roundtrip(tmp_path):
     out = tmp_path / "d.out"
     read_decompress_write_hf2(str(hf2), str(out), device=True)
     assert out.read_bytes() == data.tobytes()
+
+
+def test_auto_index_detects_content_replacement(tmp_path):
+    # timestamp-preserving replacement (cp -p / rsync -t) must NOT serve
+    # the previous file's contents from the sidecar (review r4 #1)
+    pytest.importorskip("tpuhuff.native")
+    from tpuhuff import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    d1 = _data(150_000, seed=31)
+    d2 = _data(150_000, seed=32)
+    src = tmp_path / "r.bin"
+    hff = tmp_path / "r.hff"
+    out = tmp_path / "r.out"
+    src.write_bytes(d1.tobytes())
+    read_compress_write(str(src), str(hff))
+    read_decompress_write(str(hff), str(out), auto_index=True)
+    sidecar = str(hff) + ".hf2x"
+    assert os.path.exists(sidecar)
+    # replace the source .hff with one for different content, preserving
+    # an older mtime than the sidecar's
+    src.write_bytes(d2.tobytes())
+    hff2 = tmp_path / "r2.hff"
+    read_compress_write(str(src), str(hff2))
+    st = os.stat(sidecar)
+    os.replace(str(hff2), str(hff))
+    os.utime(str(hff), (st.st_atime - 10, st.st_mtime - 10))
+    stats = {}
+    read_decompress_write(str(hff), str(out), auto_index=True, stats=stats)
+    assert out.read_bytes() == d2.tobytes()  # NOT d1
+    assert stats.get("auto_index") == "created"  # rebuilt, not reused
+
+
+def test_auto_index_corrupt_sidecar_falls_back(tmp_path):
+    pytest.importorskip("tpuhuff.native")
+    from tpuhuff import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    data = _data(120_000, seed=33)
+    src = tmp_path / "p.bin"
+    hff = tmp_path / "p.hff"
+    out = tmp_path / "p.out"
+    src.write_bytes(data.tobytes())
+    read_compress_write(str(src), str(hff))
+    read_decompress_write(str(hff), str(out), auto_index=True)
+    sidecar = str(hff) + ".hf2x"
+    # corrupt the sidecar in place (garbage header), keep it "fresh"
+    with open(sidecar, "r+b") as f:
+        f.write(b"\xff" * 64)
+    stats = {}
+    read_decompress_write(str(hff), str(out), auto_index=True, stats=stats)
+    assert out.read_bytes() == data.tobytes()
+    # either rebuilt (content check caught it) or serial fallback — both
+    # are correct; silent stale output is the only failure mode
+    assert stats.get("auto_index") in ("created", "failed")
+
+
+def test_hist_sample_hff_path(tmp_path):
+    data = _data(100_000, seed=34)
+    src = tmp_path / "h.bin"
+    hff = tmp_path / "h.hff"
+    out = tmp_path / "h.out"
+    src.write_bytes(data.tobytes())
+    read_compress_write(str(src), str(hff), hist_sample=8)
+    read_decompress_write(str(hff), str(out), auto_index=False)
+    assert out.read_bytes() == data.tobytes()

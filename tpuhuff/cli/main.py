@@ -220,7 +220,8 @@ def main(argv=None) -> int:
                 else:
                     stream.read_compress_write(src, dst, block_size,
                                                device=args.device,
-                                               timer=timer, stats=stats)
+                                               timer=timer, stats=stats,
+                                               hist_sample=args.hist_sample)
         if timer is not None:
             print(timer.report())
         if args.replace:

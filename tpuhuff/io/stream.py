@@ -83,18 +83,29 @@ def _record_call(stats: dict | None, dt: float) -> None:
         stats.setdefault("device_call_s", []).append(dt)
 
 
-def huff_tree_from_stream(fp: BinaryIO, size: int, block_size: int) -> HuffTree:
+def huff_tree_from_stream(fp: BinaryIO, size: int, block_size: int,
+                          hist_sample: int = 1) -> HuffTree:
     """Pass 1: histogram the whole stream, build the file tree
-    (`huff/src/comp.rs:161-172`)."""
+    (`huff/src/comp.rs:161-172`).
+
+    ``hist_sample > 1``: count only each chunk's first ``1/hist_sample``
+    bytes and Laplace-smooth (+1 every bin) — the complete alphabet keeps
+    the encode pass exact while pass 1 shrinks ~hist_sample x (the same
+    fast mode as :func:`read_compress_write_hf2`)."""
     bw = ByteWeights()
+    samp = max(1, int(hist_sample))
     left = size
     step = min(block_size, _CHUNK)
     while left > 0:
         chunk = fp.read(min(step, left))
         if not chunk:
             break
-        bw += ByteWeights.from_bytes(chunk)
+        piece = (chunk if samp == 1
+                 else chunk[: max(1, len(chunk) // samp)])
+        bw += ByteWeights.from_bytes(piece)
         left -= len(chunk)
+    if samp > 1 and size > 0:
+        bw = ByteWeights(bw.counts + 1)
     return HuffTree.from_weights(bw)
 
 
@@ -157,6 +168,7 @@ class _BitSink:
 def read_compress_write(
     src_path: str, dst_path: str, block_size: int = DEFAULT_BLOCK,
     device: bool = False, timer=None, stats: dict | None = None,
+    hist_sample: int = 1,
 ) -> None:
     """Compress ``src`` into ``dst`` as ``.hff`` (`huff/src/comp.rs:32-74`).
 
@@ -171,7 +183,7 @@ def read_compress_write(
     nat = _native()
     with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
         with timer.stage("histogram", size):
-            tree = huff_tree_from_stream(src, size, block_size)
+            tree = huff_tree_from_stream(src, size, block_size, hist_sample)
         tree_bin = tree.as_bin()
         tree_padding = calc_padding_bits(len(tree_bin))
         tree_bytes = tree_bin.to_bytes()
@@ -310,6 +322,36 @@ def _read_hff_header(src: BinaryIO, src_path: str):
 AUTO_INDEX_MIN = 32 << 20
 
 
+def _sidecar_matches(src_path: str, sidecar: str) -> bool:
+    """Content check that a ``.hf2x`` sidecar was built from THIS source.
+
+    mtime alone is not enough — timestamp-preserving replacement (cp -p,
+    rsync -t, tar -x) would silently serve the previous file's contents.
+    The transcoder copies tree + payload verbatim, so compare the tree
+    bits, the payload bit count, and the payload's first/last 4 KiB.
+    """
+    try:
+        with open(src_path, "rb") as s:
+            tree, data_padding, header_len = _read_hff_header(s, src_path)
+            plen = os.path.getsize(src_path) - header_len
+            total_bits = max(plen * 8 - data_padding, 0)
+            with open(sidecar, "rb") as f:
+                hdr = read_hf2_header(f)
+                if hdr.total_bits != total_bits:
+                    return False
+                if hdr.tree.as_bin().to_bytes() != tree.as_bin().to_bytes():
+                    return False
+                for off in {0, max(0, plen - 4096)}:
+                    s.seek(header_len + off)
+                    f.seek(hdr.payload_offset + off)
+                    n = min(4096, plen - off)
+                    if s.read(n) != f.read(n):
+                        return False
+        return True
+    except (OSError, StreamError, ValueError):
+        return False
+
+
 def read_decompress_write(
     src_path: str, dst_path: str, block_size: int = DEFAULT_BLOCK,
     auto_index: bool | None = None, stats: dict | None = None,
@@ -333,26 +375,54 @@ def read_decompress_write(
     sidecar = src_path + ".hf2x"
     want_auto = (auto_index if auto_index is not None
                  else nat is not None and size >= AUTO_INDEX_MIN)
+    if want_auto and nat is None and stats is not None:
+        # explicit request without the native runtime: record the
+        # degradation instead of silently running bit-serial
+        stats["auto_index"] = "unavailable"
     if want_auto and nat is not None:
+        made = False
         try:
             fresh = (os.path.exists(sidecar) and
-                     os.path.getmtime(sidecar) >= os.path.getmtime(src_path))
+                     os.path.getmtime(sidecar) >= os.path.getmtime(src_path)
+                     and _sidecar_matches(src_path, sidecar))
             if not fresh:
-                tmp = sidecar + ".tmp"
-                transcode_hff_to_hf2(src_path, tmp)
-                os.replace(tmp, sidecar)
+                # unique tmp: concurrent decoders must not interleave
+                # writes into one file (a corrupt promoted sidecar would
+                # poison every later decode)
+                tmp = f"{sidecar}.tmp.{os.getpid()}"
+                try:
+                    transcode_hff_to_hf2(src_path, tmp)
+                    os.replace(tmp, sidecar)
+                finally:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+                made = True
                 if stats is not None:
                     stats["auto_index"] = "created"
             elif stats is not None:
                 stats["auto_index"] = "reused"
-            read_decompress_write_hf2(sidecar, dst_path)
-            return
         except StreamError:
-            raise  # malformed source: same error surface as the serial path
+            raise  # malformed SOURCE: same error surface as the serial path
         except Exception:
             # sidecar not writable / partial — fall back to serial decode
             if stats is not None:
                 stats["auto_index"] = "failed"
+        else:
+            try:
+                read_decompress_write_hf2(sidecar, dst_path)
+                return
+            except StreamError:
+                # a bad SIDECAR (e.g. corrupted by a crashed writer) must
+                # not masquerade as a bad source: drop it and fall back to
+                # the serial path, which surfaces genuine source errors
+                try:
+                    os.remove(sidecar)
+                except OSError:
+                    pass
+                if made:
+                    raise  # we just built it from this source: source bug
+                if stats is not None:
+                    stats["auto_index"] = "failed"
     with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
         tree, data_padding, header_len = _read_hff_header(src, src_path)
         payload_len = size - header_len
@@ -594,7 +664,14 @@ def read_compress_write_hf2(
 
             from ..kernels.histogram import histogram
 
+            # device histograms are int32; one chunk's max bin is <= step
+            # (< 2^27), so flushing the device accumulator to the host
+            # int64 total every 8 chunks keeps every partial sum < 2^30 —
+            # no overflow at any file size (review r4 finding #2), while
+            # the within-group accumulation stays async on device
+            host_acc = np.zeros(256, dtype=np.int64)
             acc = None
+            acc_chunks = 0
             pending = None
             while True:
                 piece = src.read(min(step, left)) if left > 0 else b""
@@ -605,11 +682,17 @@ def read_compress_write_hf2(
                         np.frombuffer(sampled(piece), dtype=np.uint8)))
                 if pending is not None:
                     acc = pending if acc is None else acc + pending
+                    acc_chunks += 1
+                    if acc_chunks >= 8:
+                        host_acc += np.asarray(acc).astype(np.int64)
+                        acc = None
+                        acc_chunks = 0
                 pending = handle
                 if pending is None and not piece:
                     break
             if acc is not None:
-                bw = ByteWeights(np.asarray(acc).astype(np.int64))
+                host_acc += np.asarray(acc).astype(np.int64)
+            bw = ByteWeights(host_acc)
         else:
             while left > 0:
                 piece = src.read(min(step, left))

@@ -289,31 +289,13 @@ def _encode_kernel_fused(*refs, N: int, ML: int, full: bool,
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        from .pallas_histogram import HIST_U8
+        from .pallas_histogram import HIST_BF16, HIST_U8, hist_slab_update
 
         hrows = hist_ref.shape[0]  # groups * N rows of 128 bytes
         slab = min(256, hrows)  # hrows is a power of two >= 16
-        T = slab * 16  # lanes per slab in the G=8 grouped form
-        hdt = jnp.uint8 if HIST_U8 else jnp.int32
-        binv_i = jax.lax.broadcasted_iota(jnp.int32, (128, T), 0) >> 3
-        binv = binv_i.astype(hdt)
-        binv_hi = (binv_i << 4).astype(hdt)  # u8 mode: shift-free compare
         for q in range(hrows // slab):
-            p = hist_ref[slab * q : slab * (q + 1), :].astype(hdt)
-            s8 = jnp.concatenate(
-                [p[8 * k : 8 * (k + 1)] for k in range(slab // 8)], axis=1
-            )  # (8, T)
-            r8 = jnp.concatenate([s8] * 16, axis=0)  # (128, T) tile-stacked
-            if HIST_U8:
-                ah = ((r8 & jnp.uint8(0xF0)) == binv_hi).astype(jnp.int8)
-                bh = ((r8 & jnp.uint8(0x0F)) == binv).astype(jnp.int8)
-            else:
-                ah = ((r8 >> 4) == binv).astype(jnp.int8)
-                bh = ((r8 & 15) == binv).astype(jnp.int8)
-            acc_ref[:] += jax.lax.dot_general(
-                ah, bh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
+            hist_slab_update(hist_ref[slab * q : slab * (q + 1), :],
+                             acc_ref, G=8, u8=HIST_U8, bf16cmp=HIST_BF16)
 
         @pl.when(i == np_ - 1)
         def _():
@@ -542,13 +524,12 @@ def _encode_call_fused(words_nat, valid_g, inv4, pres, cumle, dd, n_syms,
 
 
 def finalize_hist8(C: jnp.ndarray) -> jnp.ndarray:
-    """Grouped (128, 128) hist block -> (256,) counts (G=8 form).
+    """Grouped (128, 128) hist block -> (256,) counts (the G=8 form of
+    :func:`tpuhuff.kernels.pallas_histogram._finalize`, to which this
+    delegates — one copy of the grouped-accumulator decode rule)."""
+    from .pallas_histogram import _finalize
 
-    Row ``8k+g``, col ``8k'+g'`` counts ``hi==k & lo==k'`` within element
-    group ``g`` when ``g == g'`` (off-diagonal group products are junk):
-    ``hist[16k+k'] = sum_g C[8k+g, 8k'+g]``."""
-    C4 = C.reshape(16, 8, 16, 8)
-    return jnp.einsum("kgjg->kj", C4).reshape(256)
+    return _finalize(C)
 
 
 def _enc_groups() -> int:

@@ -77,16 +77,14 @@ HIST_U8 = _os.environ.get("TPUHUFF_HIST_U8", "0") == "1"
 HIST_BF16 = _os.environ.get("TPUHUFF_HIST_BF16", "0") == "1"
 
 
-def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int, u8: bool,
-                 bf16cmp: bool = False):
-    i = pl.program_id(0)
-    np_ = pl.num_programs(0)
-
-    @pl.when(i == 0)
-    def _():
-        acci_ref[:] = jnp.zeros_like(acci_ref)
-
-    T = ROWS * 128 // G
+def hist_slab_update(p_raw, acc_ref, *, G: int, u8: bool = False,
+                     bf16cmp: bool = False, i8: bool = True) -> None:
+    """Accumulate one (rows, 128) u8 slab into the grouped (16G, 16G)
+    int32 accumulator ref — the ONE copy of the grouped one-hot histogram
+    body, shared by the standalone kernel below and the fused
+    encode+hist kernel (`pallas_encode2._encode_kernel_fused`)."""
+    rows = p_raw.shape[0]
+    T = rows * 128 // G
     dt = (jnp.uint8 if u8 else
           jnp.bfloat16 if bf16cmp else jnp.int32)
     sub = jax.lax.broadcasted_iota(jnp.int32, (16 * G, T), 0)
@@ -96,48 +94,60 @@ def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int, u8: bool,
     # values: Mosaic rejects shifts on i8 vectors (arith.shrui, r4 s2)
     # but accepts bitwise AND and compares at the 4x i8 lane density
     binv_hi = (binv_i << 4).astype(dt)
+    # Mosaic has no direct u8->bf16 cast — hop through i32 (r4 s5)
+    p = (p_raw.astype(jnp.int32).astype(dt) if bf16cmp
+         else p_raw.astype(dt))
+    sG = jnp.concatenate(
+        [p[G * k : G * (k + 1)] for k in range(rows // G)], axis=1
+    )  # (G, T)
+    r = jnp.concatenate([sG] * 16, axis=0)  # (16G, T) tile-stacked
+    if u8:
+        hi = (r & jnp.uint8(0xF0)) == binv_hi
+        lo = (r & jnp.uint8(0x0F)) == binv
+    elif bf16cmp:
+        # nibble split without integer ops: r/16 is a power-of-two
+        # scale (exact), floor recovers the hi nibble, the remainder
+        # the lo nibble — all values <= 255 exact in bf16
+        hi_f = jnp.floor(r * jnp.bfloat16(1.0 / 16.0))
+        lo_f = r - hi_f * jnp.bfloat16(16.0)
+        hi = hi_f == binv
+        lo = lo_f == binv
+    else:
+        hi = (r >> 4) == binv
+        lo = (r & 15) == binv
+    if i8:
+        # int8 operands + int32 accumulation: 2x the bf16 MXU K-rate
+        # (r3 s6: 3.21 ms vs 4.88 ms per 100 MiB) and exact at any
+        # size with no f32 spill.  NOTE preferred_element_type must
+        # be int32 — int8 operands with f32 accumulation crash this
+        # backend's remote compiler (r3 s2).
+        acc_ref[:] += jax.lax.dot_general(
+            hi.astype(jnp.int8), lo.astype(jnp.int8),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        # f32 accumulation of one cell is exact (<= 2^17 per entry);
+        # the i32 accumulator absorbs it every cell
+        acc_ref[:] += jax.lax.dot_general(
+            hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+
+
+def _hist_kernel(w_ref, o_ref, acci_ref, *, i8: bool, G: int, u8: bool,
+                 bf16cmp: bool = False):
+    i = pl.program_id(0)
+    np_ = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acci_ref[:] = jnp.zeros_like(acci_ref)
+
     for q in range(4):
-        pq = w_ref[ROWS * q : ROWS * (q + 1), :]
-        # Mosaic has no direct u8->bf16 cast — hop through i32 (r4 s5)
-        p = (pq.astype(jnp.int32).astype(dt) if bf16cmp
-             else pq.astype(dt))
-        sG = jnp.concatenate(
-            [p[G * k : G * (k + 1)] for k in range(ROWS // G)], axis=1
-        )  # (G, T)
-        r = jnp.concatenate([sG] * 16, axis=0)  # (16G, T) tile-stacked
-        if u8:
-            hi = (r & jnp.uint8(0xF0)) == binv_hi
-            lo = (r & jnp.uint8(0x0F)) == binv
-        elif bf16cmp:
-            # nibble split without integer ops: r/16 is a power-of-two
-            # scale (exact), floor recovers the hi nibble, the remainder
-            # the lo nibble — all values <= 255 exact in bf16
-            hi_f = jnp.floor(r * jnp.bfloat16(1.0 / 16.0))
-            lo_f = r - hi_f * jnp.bfloat16(16.0)
-            hi = hi_f == binv
-            lo = lo_f == binv
-        else:
-            hi = (r >> 4) == binv
-            lo = (r & 15) == binv
-        if i8:
-            # int8 operands + int32 accumulation: 2x the bf16 MXU K-rate
-            # (r3 s6: 3.21 ms vs 4.88 ms per 100 MiB) and exact at any
-            # size with no f32 spill.  NOTE preferred_element_type must
-            # be int32 — int8 operands with f32 accumulation crash this
-            # backend's remote compiler (r3 s2).
-            acci_ref[:] += jax.lax.dot_general(
-                hi.astype(jnp.int8), lo.astype(jnp.int8),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-        else:
-            # f32 accumulation of one cell is exact (<= 2^17 per entry);
-            # the i32 accumulator absorbs it every cell
-            acci_ref[:] += jax.lax.dot_general(
-                hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
+        hist_slab_update(w_ref[ROWS * q : ROWS * (q + 1), :], acci_ref,
+                         G=G, u8=u8, bf16cmp=bf16cmp, i8=i8)
 
     @pl.when(i == np_ - 1)
     def _():
