@@ -225,3 +225,37 @@ def test_hist_sample_hff_path(tmp_path):
     read_compress_write(str(src), str(hff), hist_sample=8)
     read_decompress_write(str(hff), str(out), auto_index=False)
     assert out.read_bytes() == data.tobytes()
+
+
+def test_malformed_hf2_table_rejected(tmp_path):
+    # non-monotonic block table must raise InvalidHeaderInfo, not feed
+    # negative read lengths into the group loop
+    import struct
+
+    from tpuhuff.io.stream import StreamError
+
+    data = _data(4096, seed=41)
+    src = tmp_path / "m.bin"
+    src.write_bytes(data.tobytes())
+    hf2 = tmp_path / "m.hf2"
+    read_compress_write_hf2(str(src), str(hf2), block_len=256)
+    raw = bytearray(hf2.read_bytes())
+    # v2 layout: magic4 flags1 width1 treelen4 pad1 orig8 block4 nblocks4
+    width = raw[5]
+    table_off = 27
+    # swap the first two table entries after inflating the first: makes
+    # cumulative ends non-monotonic
+    e0 = int.from_bytes(raw[table_off:table_off + width], "big")
+    big = (1 << (8 * width)) - 1
+    raw[table_off:table_off + width] = big.to_bytes(width, "big")
+    raw[table_off + width:table_off + 2 * width] = e0.to_bytes(width, "big")
+    bad = tmp_path / "bad.hf2"
+    bad.write_bytes(bytes(raw))
+    out = tmp_path / "m.out"
+    try:
+        read_decompress_write_hf2(str(bad), str(out))
+    except (StreamError, ValueError):
+        pass  # any typed rejection is fine
+    else:
+        # if it "succeeded", the output must NOT silently be wrong size
+        assert os.path.getsize(out) == data.size

@@ -899,6 +899,14 @@ def read_decompress_write_hf2(
                 left -= n
             return
         ends = hdr.end_bits.astype(np.uint64)
+        # a malformed table (non-monotonic offsets) would drive negative
+        # read lengths / wrapped uint64 slices below — reject up front,
+        # same error surface as the reference's header validation
+        if ends.size and np.any(np.diff(ends.astype(np.int64)) < 0):
+            raise StreamError(
+                f"{src_path!r} stores invalid header information",
+                "InvalidHeaderInfo",
+            )
         starts = np.concatenate([[np.uint64(0)], ends[:-1]])
         B = hdr.num_blocks
         if device and hdr.block_len > 2048:
