@@ -106,7 +106,8 @@ def _sel_list(bits, items, lo: int, size: int):
 
 def _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
                  block_len: int, unroll: int, wpad: int,
-                 packed: bool = False, work_ref=None, sel_ref=None):
+                 packed: bool = False, work_ref=None, sel_ref=None,
+                 max_sym_bits: int = 32):
     """Shared scan scaffolding: window formation, cursor bookkeeping, the
     per-step buffer roll, output stores.  ``decode_window`` maps the next
     32 bits (MSB-aligned u32) to ``(symbol u32, code length i32)``.
@@ -140,12 +141,15 @@ def _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
             if s == 0:
                 w0, w1 = win[0], win[1]
             else:
+                # symbol s's word offset q <= (31 + s*max_sym_bits) >> 5 —
+                # the same static bound that prunes the buffer roll (r4)
+                cap = min(s, (31 + s * max_sym_bits) >> 5)
                 nsel = 1
-                while nsel <= s:
+                while nsel <= cap:
                     nsel *= 2
                 qb = [((q >> k) & 1) == 1 for k in range(nsel.bit_length() - 1)]
-                w0 = _sel_list(qb, win[: s + 1], 0, nsel)
-                w1 = _sel_list(qb, win[1 : s + 2], 0, nsel)
+                w0 = _sel_list(qb, win[: cap + 1], 0, nsel)
+                w1 = _sel_list(qb, win[1 : cap + 2], 0, nsel)
             hi = jnp.where(rr == 0, w0, w0 << rr)
             lo = jnp.where(
                 rr == 0, jnp.uint32(0), w1 >> ((jnp.uint32(32) - rr) & 31)
@@ -158,9 +162,14 @@ def _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
             cur = cur + ln
             consumed = consumed + ln
         qt = cur >> 5
+        # static word-advance bound (r4): cur <= 31 + S*max_sym_bits, so
+        # qt <= (31 + S*max_sym_bits) >> 5 — for the canonical ladder
+        # (max_sym_bits = max code length, e.g. 14) this prunes the
+        # whole-buffer roll from log2(S)+1 select levels to ~half
+        maxq = min(S, (31 + S * max_sym_bits) >> 5)
         stepw = 1
         bit = 0
-        while stepw <= S:
+        while stepw <= maxq:
             rolled = jnp.concatenate(
                 [buf[stepw * SUB :],
                  jnp.zeros((stepw * SUB, LANES), jnp.uint32)], axis=0
@@ -236,7 +245,8 @@ def _decode_kernel(*refs, block_len: int, max_len: int, unroll: int,
         return (word >> sh) & jnp.uint32(0xFF), ln
 
     _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
-                 block_len, unroll, wpad, packed, work_ref, sel_ref)
+                 block_len, unroll, wpad, packed, work_ref, sel_ref,
+                 max_sym_bits=max_len)
 
 
 def _decode_kernel_general(*refs, block_len: int, unroll: int,
