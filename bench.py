@@ -382,7 +382,7 @@ def main() -> None:
             gjnbits = jax.device_put(jnp.asarray(gnbits_p), dev)
             gout = np.asarray(decode_rows_fused_general(
                 gjrows, gjbit0, gjnbits, jeytz, jsym, jlen, DEC_BLOCK,
-                unroll, levels=levels))
+                unroll, levels=levels, max_sym_bits=gml))
             assert np.array_equal(gout[:gBd].reshape(-1), data[:gn]), \
                 "general decode mismatch"
             log("general-tree decode bit-exactness: OK")
@@ -395,7 +395,8 @@ def main() -> None:
                     nb2 = nb.at[-1].add(-(i & 1))
                     o = decode_rows_fused_general(
                         r, b0, nb2, jeytz, jsym, jlen,
-                        DEC_BLOCK, unroll, levels=levels)
+                        DEC_BLOCK, unroll, levels=levels,
+                        max_sym_bits=gml)
                     w32 = jax.lax.bitcast_convert_type(
                         o.reshape(o.shape[0], o.shape[1] // 4, 4),
                         jnp.uint32)

@@ -212,6 +212,7 @@ def sharded_decode_blocks(
         lens_lut, _ = tree.encode_tables()
         n_leaves = int((np.asarray(lens_lut) > 0).sum())
         levels = max(1, (max(n_leaves, 2) - 1).bit_length())
+        msb = int(np.asarray(lens_lut).max(initial=32))
         if on_tpu:
             from ..kernels.pallas_decode import (
                 decode_rows_fused_general, make_general_fused_tables,
@@ -222,7 +223,8 @@ def sharded_decode_blocks(
             def shard(r, b0, nb, a1, a2, a3):
                 return decode_rows_fused_general(r, b0, nb, a1, a2, a3,
                                                  block_len, unroll,
-                                                 levels=levels)
+                                                 levels=levels,
+                                                 max_sym_bits=msb)
 
             tabs = (t1, t2, t3)
         else:

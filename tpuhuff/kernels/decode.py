@@ -455,8 +455,10 @@ def decode_rows_device(
 
         thr, sym4, len4 = make_decode_tables(tree)
         eytz, s4, l4 = make_general_fused_tables(thr, sym4, len4)
-        n_leaves = len(tree.read_codes())
+        codes_all = tree.read_codes()
+        n_leaves = len(codes_all)
         levels = max(1, (max(n_leaves, 2) - 1).bit_length())
+        msb = max((c.length for c in codes_all.values()), default=32)
         B, W = np.shape(rows)
         group = SUB * LANES
         Bp = -(-B // group) * group
@@ -470,6 +472,7 @@ def decode_rows_device(
         out = decode_rows_fused_general(
             jnp.asarray(rows_p), jnp.asarray(bit0_p), jnp.asarray(nbits_p),
             eytz, s4, l4, block_len, unroll, interp, levels,
+            max_sym_bits=int(msb),
         )
         return out[:B] if as_jax else np.asarray(out[:B])
     if canon is not None:

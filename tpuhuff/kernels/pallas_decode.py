@@ -251,7 +251,7 @@ def _decode_kernel(*refs, block_len: int, max_len: int, unroll: int,
 
 def _decode_kernel_general(*refs, block_len: int, unroll: int,
                            wpad: int, packed: bool, levels: int = 8,
-                           tout: bool = False):
+                           tout: bool = False, max_sym_bits: int = 32):
     """General prefix-tree window: interval search over the sorted
     left-aligned leaf thresholds in Eytzinger (BFS heap) layout — decodes
     ANY tree shape, e.g. a reference-built ``.hff`` (VERDICT r1 #3/#6).
@@ -290,7 +290,8 @@ def _decode_kernel_general(*refs, block_len: int, unroll: int,
         return sym, ln
 
     _decode_body(rows_ref, bit0_ref, nbits_ref, out_ref, decode_window,
-                 block_len, unroll, wpad, packed, work_ref, sel_ref)
+                 block_len, unroll, wpad, packed, work_ref, sel_ref,
+                 max_sym_bits=max_sym_bits)
 
 
 def _out_spec(block_len: int, packed: bool, cells: int, tout: bool = False):
@@ -358,16 +359,16 @@ def _decode_call(rows_g, bit0_g, nbits_g, ub, dd, perm4, max_len, block_len,
 @functools.partial(
     jax.jit,
     static_argnames=("block_len", "unroll", "interpret", "packed", "levels",
-                     "tout"),
+                     "tout", "max_sym_bits"),
 )
 def _decode_call_general(rows_g, bit0_g, nbits_g, eytz, sym4, len4,
                          block_len, unroll, interpret, packed=False,
-                         levels=8, tout=False):
+                         levels=8, tout=False, max_sym_bits=32):
     cells = bit0_g.shape[0] // SUB
     wpad = rows_g.shape[0] // (cells * SUB)
     kernel = functools.partial(
         _decode_kernel_general, block_len=block_len, unroll=unroll, wpad=wpad,
-        packed=packed, levels=levels, tout=tout,
+        packed=packed, levels=levels, tout=tout, max_sym_bits=max_sym_bits,
     )
     in_specs = [
         pl.BlockSpec((wpad * SUB, LANES), lambda i: (i, 0),
@@ -423,7 +424,8 @@ def make_general_fused_tables(thr, sym4, len4):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_len", "unroll", "interpret", "levels"),
+    static_argnames=("block_len", "unroll", "interpret", "levels",
+                     "max_sym_bits"),
 )
 def decode_rows_fused_general(
     rows: jnp.ndarray,
@@ -436,10 +438,13 @@ def decode_rows_fused_general(
     unroll: int,
     interpret: bool = False,
     levels: int = 8,
+    max_sym_bits: int = 32,
 ) -> jnp.ndarray:
     """General-tree twin of :func:`decode_rows_fused` (same contract).
     ``levels`` = ceil(log2(leaf count)) shrinks the search select trees for
-    sparse alphabets (pass 8 when unknown)."""
+    sparse alphabets (pass 8 when unknown); ``max_sym_bits`` = the tree's
+    max code length bounds the scan's roll/window selects (pass 32 when
+    unknown)."""
     B, wpad = rows.shape
     S = int(unroll)
     cells = B // (SUB * LANES)
@@ -454,7 +459,7 @@ def decode_rows_fused_general(
     packed = tout or (_DEC_PACK and S % 4 == 0 and block_len % 4 == 0)
     out = _decode_call_general(rows_g, bit0_g, nbits_g, eytz, sym4, len4,
                                block_len, S, interpret, packed,
-                               int(levels), tout)
+                               int(levels), tout, int(max_sym_bits))
     return _inverse_layout(out, cells, block_len, B, packed, tout)
 
 
