@@ -23,11 +23,15 @@ import os, sys
 sys.path.insert(0, os.environ["TPUHUFF_REPO"])
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(
-    coordinator_address=os.environ["TPUHUFF_COORD"],
-    num_processes=int(os.environ["TPUHUFF_NPROC"]),
-    process_id=int(os.environ["TPUHUFF_PID"]),
-)
+# exercise the product entry point (env-var driven), not raw
+# jax.distributed.initialize — r4 review: the old process_count() probe
+# initialized the backend and made initialization impossible
+os.environ["TPUHUFF_COORDINATOR"] = os.environ["TPUHUFF_COORD"]
+os.environ["TPUHUFF_NUM_PROCESSES"] = os.environ["TPUHUFF_NPROC"]
+os.environ["TPUHUFF_PROCESS_ID"] = os.environ["TPUHUFF_PID"]
+from tpuhuff.dist.multihost import initialize
+initialize()
+initialize()  # second call must no-op (already initialized), not raise
 assert jax.process_count() == int(os.environ["TPUHUFF_NPROC"])
 assert jax.device_count() == int(os.environ.get("TPUHUFF_NDEV", "8")), (
     jax.device_count()

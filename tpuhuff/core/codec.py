@@ -154,7 +154,17 @@ class PyDfaDecoder:
 
     def __init__(self, tree: HuffTree):
         self.tree = tree
-        self.next_state, self.emit_count, self.emit_syms, _ = tree.decode_dfa()
+        (self.next_state, self.emit_count, self.emit_syms,
+         state_of_node) = tree.decode_dfa()
+        # invert the DFA's own state numbering once — finish() resumes the
+        # tree walk from node_of_state[state] (review r4: the previous
+        # _state_to_node re-derived the ordering by duplicating
+        # decode_dfa's sort rule, a silent-desync hazard)
+        self.node_of_state = np.zeros(self.next_state.shape[0],
+                                      dtype=np.int64)
+        for node, st in enumerate(state_of_node):
+            if st >= 0:
+                self.node_of_state[st] = node
         self.state = 0
 
     def feed(self, data: BytesLike) -> bytes:
@@ -180,7 +190,7 @@ class PyDfaDecoder:
         tree = self.tree
         out = bytearray()
         left, right, letters = tree.left, tree.right, tree.letters
-        node = _state_to_node(tree, self.state)
+        node = int(self.node_of_state[self.state])
         for bit_i in range(7, padding_bits - 1, -1):
             bit = (last_byte >> bit_i) & 1
             node = int(right[node] if bit else left[node])
@@ -188,12 +198,6 @@ class PyDfaDecoder:
                 out.append(int(letters[node]))
                 node = tree.root
         return bytes(out)
-
-
-def _state_to_node(tree: HuffTree, state: int) -> int:
-    internal = [n for n in range(tree.num_nodes) if not tree.is_leaf(n)]
-    internal.sort(key=lambda n: (n != tree.root,))
-    return internal[state]
 
 
 # ---------------------------------------------------------------------------

@@ -37,19 +37,53 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """``jax.distributed.initialize`` with env-var defaults; no-op when
-    single-process or already initialized."""
-    if jax.process_count() > 1:
-        return
+    """``jax.distributed.initialize`` with env-var defaults
+    (``TPUHUFF_COORDINATOR`` / ``TPUHUFF_NUM_PROCESSES`` /
+    ``TPUHUFF_PROCESS_ID``); no-op when single-host or already
+    initialized.
+
+    The already-initialized probe must NOT touch the XLA backend:
+    ``jax.process_count()`` initializes it, after which
+    ``jax.distributed.initialize`` unconditionally raises (review r4) —
+    so probe the distributed client state directly."""
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except Exception:
+        pass
     if coordinator_address is None:
         coordinator_address = os.environ.get("TPUHUFF_COORDINATOR")
     if coordinator_address is None:
         return  # single-host
+    if num_processes is None and "TPUHUFF_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["TPUHUFF_NUM_PROCESSES"])
+    if process_id is None and "TPUHUFF_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["TPUHUFF_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def _allgather_i64(arr: np.ndarray) -> np.ndarray:
+    """``process_allgather`` for 64-bit payloads.
+
+    x64 is disabled in this project, so JAX device_put-canonicalizes
+    int64 -> int32 and any value >= 2^31 silently wraps (review r4:
+    exactly the >2 GiB-per-shard histogram/size regime config 5 targets).
+    Ship hi/lo uint32 halves instead and reassemble.  Returns
+    (nproc, *arr.shape) int64; values must be non-negative."""
+    from jax.experimental import multihost_utils
+
+    a = np.ascontiguousarray(arr).astype(np.int64)
+    lo = (a & np.int64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (a >> np.int64(32)).astype(np.uint32)
+    g = multihost_utils.process_allgather(np.stack([lo, hi]))
+    return ((g[:, 1].astype(np.int64) << 32)
+            | g[:, 0].astype(np.int64))
 
 
 def is_coordinator() -> bool:
@@ -127,9 +161,7 @@ def compress_file_multihost(
                                  dtype=np.int64)
             left -= len(piece)
     if nproc > 1:
-        from jax.experimental import multihost_utils
-
-        counts = multihost_utils.process_allgather(counts).sum(axis=0)
+        counts = _allgather_i64(counts).sum(axis=0)
     tree, _limited = build_tree_for_device(ByteWeights(counts), max_len=32)
     if canonical:
         tree = canonicalize(tree)
@@ -168,13 +200,20 @@ def compress_file_multihost(
             if nproc > 1:
                 from jax.experimental import multihost_utils
 
-                pad = np.zeros(cap_bytes, dtype=np.uint8)
+                # gather the (64-bit-safe) lengths FIRST, then pad the
+                # payload only to the round's max, bucketed to a power of
+                # two so collective shapes stay reusable — the old fixed
+                # worst-case pad shipped ~ml/8 x the uncompressed chunk
+                # per host per round over DCN regardless of payload
+                meta = np.asarray([len(my_payload), my_nb])
+                metas = _allgather_i64(meta)
+                round_max = int(metas[:, 0].max())
+                bucket = max(4096, 1 << (max(round_max, 1) - 1).bit_length())
+                bucket = min(bucket, cap_bytes)
+                pad = np.zeros(max(bucket, 1), dtype=np.uint8)
                 pad[: len(my_payload)] = np.frombuffer(my_payload, np.uint8)
-                meta = np.zeros(2, dtype=np.int64)
-                meta[0], meta[1] = len(my_payload), my_nb
-                metas = multihost_utils.process_allgather(meta)
                 pays = multihost_utils.process_allgather(pad)
-                lens_all = multihost_utils.process_allgather(my_lens)
+                lens_all = _allgather_i64(my_lens).astype(np.uint64)
             else:
                 metas = np.asarray([[len(my_payload), my_nb]])
                 pays = np.frombuffer(my_payload, np.uint8)[None, :]
@@ -276,10 +315,24 @@ def decompress_file_multihost(
     -> return.  Single-process: degenerates to a plain local decode.
     """
     from ..io.hff import read_hf2_header
+    from ..io.stream import StreamError
 
     with open(src_path, "rb") as fp:
         hdr = read_hf2_header(fp)
+    # same malformed-table rejection as the local reader: non-monotonic
+    # offsets would drive negative reads / wrapped slices below
+    _e = hdr.end_bits.astype(np.int64)
+    if _e.size and np.any(np.diff(_e) < 0):
+        raise StreamError(
+            f"{src_path!r} stores invalid header information",
+            "InvalidHeaderInfo",
+        )
     B = hdr.num_blocks
+    if device and hdr.block_len > 2048:
+        # big-block containers force a block_len-step sequential scan per
+        # device lane — route to the threaded DFA exactly like the local
+        # reader (io/stream.py) so the two paths agree
+        device = False
     pc, pid = jax.process_count(), jax.process_index()
     per = -(-B // pc)
     lo_b, hi_b = pid * per, min((pid + 1) * per, B)
