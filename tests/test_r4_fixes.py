@@ -113,3 +113,56 @@ def test_fused_transpose_out_bit_exact_and_hist():
     for b in (0, 63, 191):
         ref, _ = pack_codes_u8(data[b], lens, codes)
         assert words_to_payload(np.asarray(words[b]), int(bits[b])) == ref
+
+
+def test_nondefault_layout_knobs_still_work():
+    # the A/B fallback paths (XLA-side inverse layouts) must stay green
+    # even though the defaults bypass them
+    import jax.numpy as jnp
+
+    from tpuhuff.core.canonical import canonicalize
+    from tpuhuff.core.codec import pack_codes_u8
+    from tpuhuff.kernels import pallas_decode as pdec
+    from tpuhuff.kernels import pallas_encode2 as pe2
+    from tpuhuff.kernels.encode import (
+        make_canonical_encode_tables, make_encode_tables, encode_blocks,
+        words_to_payload,
+    )
+    from tpuhuff.kernels.decode import (
+        make_canonical_decode_tables, payload_to_lane_words,
+    )
+    from tpuhuff.dist import stitch_words
+
+    rng = np.random.default_rng(17)
+    data = rng.integers(0, 256, (1024, 64), dtype=np.uint8)
+    tree = canonicalize(HuffTree.from_weights(
+        ByteWeights.from_bytes(data.reshape(-1))))
+    lens, codes = tree.encode_tables()
+    tabs = make_canonical_encode_tables(tree)
+    ml = int(np.asarray(lens).max())
+
+    old_tout, old_dec = pe2.ENC_TOUT, pdec.DEC_TOUT
+    try:
+        pe2.ENC_TOUT = False
+        w, b = pe2.encode_blocks_pallas2(
+            jnp.asarray(data), tabs[:4], ml, interpret=True,
+            full_alphabet=bool(tabs[5]))
+        for blk in (0, 512, 1023):
+            ref, _ = pack_codes_u8(data[blk], lens, codes)
+            assert words_to_payload(np.asarray(w[blk]), int(b[blk])) == ref
+
+        pdec.DEC_TOUT = False
+        dl, da = make_encode_tables(lens, codes)
+        we, be = encode_blocks(jnp.asarray(data), dl, da, max_code_len=ml)
+        be_np = np.asarray(be).astype(np.int64)
+        payload, _ = stitch_words(np.asarray(we), be_np.astype(np.uint64))
+        ends = np.cumsum(be_np)
+        starts = np.concatenate([[0], ends[:-1]])
+        rows, bit0 = payload_to_lane_words(payload, starts, ends, 64)
+        ub, dd, perm4, mlc = make_canonical_decode_tables(tree)
+        out = pdec.decode_blocks_pallas_canonical(
+            rows, bit0, (ends - starts).astype(np.int32), ub, dd, perm4,
+            mlc, 64, unroll=4, interpret=True)
+        assert np.array_equal(out.reshape(-1), data.reshape(-1))
+    finally:
+        pe2.ENC_TOUT, pdec.DEC_TOUT = old_tout, old_dec
