@@ -166,3 +166,47 @@ def test_nondefault_layout_knobs_still_work():
         assert np.array_equal(out.reshape(-1), data.reshape(-1))
     finally:
         pe2.ENC_TOUT, pdec.DEC_TOUT = old_tout, old_dec
+
+
+def test_ml1_degenerate_through_fused_kernels():
+    # 2-symbol alphabet: ML=1 (the ladder degenerates to a constant) must
+    # stay bit-exact through the fused encode AND the tout decode, whose
+    # r4 roll bound collapses to a single level here
+    import jax.numpy as jnp
+
+    from tpuhuff.core.canonical import canonicalize
+    from tpuhuff.core.codec import pack_codes_u8
+    from tpuhuff.dist import stitch_words
+    from tpuhuff.kernels import pallas_decode as pdec
+    from tpuhuff.kernels.decode import (
+        make_canonical_decode_tables, payload_to_lane_words,
+    )
+    from tpuhuff.kernels.encode import (
+        make_canonical_encode_tables, words_to_payload,
+    )
+    from tpuhuff.kernels.pallas_encode2 import encode_blocks_pallas2
+
+    rng = np.random.default_rng(23)
+    data = rng.choice(np.array([7, 200], np.uint8),
+                      size=(1024, 64)).astype(np.uint8)
+    tree = canonicalize(HuffTree.from_weights(
+        ByteWeights.from_bytes(data.reshape(-1))))
+    lens, codes = tree.encode_tables()
+    tabs = make_canonical_encode_tables(tree)
+    ml = int(np.asarray(lens).max())
+    assert ml == 1
+    w, b = encode_blocks_pallas2(jnp.asarray(data), tabs[:4], ml,
+                                 interpret=True,
+                                 full_alphabet=bool(tabs[5]))
+    ref, _ = pack_codes_u8(data[0], lens, codes)
+    assert words_to_payload(np.asarray(w[0]), int(b[0])) == ref
+    b_np = np.asarray(b).astype(np.int64)
+    payload, _ = stitch_words(np.asarray(w), b_np.astype(np.uint64))
+    ends = np.cumsum(b_np)
+    starts = np.concatenate([[0], ends[:-1]])
+    rows, bit0 = payload_to_lane_words(payload, starts, ends, 64)
+    ub, dd, perm4, mlc = make_canonical_decode_tables(tree)
+    out = pdec.decode_blocks_pallas_canonical(
+        rows, bit0, (ends - starts).astype(np.int32), ub, dd, perm4,
+        mlc, 64, unroll=4, interpret=True)
+    assert np.array_equal(out.reshape(-1), data.reshape(-1))
