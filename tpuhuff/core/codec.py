@@ -15,13 +15,13 @@ latency; all three produce identical bytes.
 
 from __future__ import annotations
 
-from typing import Hashable, List, Optional, Sequence, Union
+from typing import Hashable, List, Union
 
 import numpy as np
 
 from .bits import calc_padding_bits
 from .format import CompressData, CompressError
-from .letters import U8, LetterType, letter_type
+from .letters import U8, LetterType
 from .tree import HuffTree
 from .weights import ByteWeights, build_weights_map
 

@@ -20,7 +20,7 @@ threads) and a Pallas/XLA one-hot histogram on device
 
 from __future__ import annotations
 
-from typing import Dict, Hashable, Iterable, Iterator, List, Sequence, Tuple, Union
+from typing import Dict, Hashable, Iterator, List, Sequence, Tuple, Union
 
 import numpy as np
 

@@ -16,7 +16,6 @@ The TPU-native version of the reference CLI's two-pass streaming compress
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -25,7 +25,6 @@ over the 0..S word advance), exactly like the XLA skeleton.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
