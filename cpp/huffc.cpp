@@ -321,6 +321,178 @@ int64_t huffc_decode(const uint8_t* comp, uint64_t start_bit, uint64_t end_bit,
   return (int64_t)(p - out);
 }
 
+// Decode the bit range [start_bit, end_bit) while ALSO recording the bit
+// offset after every `block_len`-th letter — the fused form of huffc_decode
+// + huffc_index_blocks (one DFA pass instead of two).  Powers the
+// decode-and-build-sidecar first read of a foreign .hff (the reference
+// format carries no block index, huff/README.md:55-65).  Resumable:
+// `*inout_in_block` carries the current block's letter count across
+// windows; `*resume_bit` returns the offset just past the last complete
+// code.  `*out_bounds` receives the boundary count.  Returns letters
+// emitted, -1 on out_cap overflow, -3 on boundary-buffer overflow.
+int64_t huffc_decode_index(
+    const uint8_t* comp, uint64_t start_bit, uint64_t end_bit,
+    const int16_t* next_state, const uint8_t* emit_count,
+    const uint8_t* emit_syms, const uint8_t* last_emit_bit,
+    const int32_t* left, const int32_t* right, const int32_t* letter,
+    const int16_t* state_of_node, const int32_t* node_of_state, int32_t root,
+    uint8_t* out, uint64_t out_cap, uint64_t* resume_bit, uint64_t block_len,
+    uint64_t* boundaries, int64_t max_bounds, uint64_t* inout_in_block,
+    int64_t* out_bounds) {
+  uint64_t in_block = inout_in_block ? *inout_in_block : 0;
+  int64_t nb = 0;
+  uint8_t* p = out;
+  uint8_t* out_end = out + out_cap;
+  uint64_t last_emit_end = start_bit;
+  uint64_t bit = start_bit;
+  int32_t node = root;
+  if (block_len == 0) return -3;
+  if (left[root] < 0) {  // degenerate single-leaf tree: one letter per bit
+    uint64_t count = end_bit - start_bit;
+    if (count > out_cap) return -1;
+    std::memset(out, (uint8_t)letter[root], count);
+    for (uint64_t b2 = start_bit; b2 < end_bit; ++b2) {
+      if (++in_block == block_len) {
+        if (nb >= max_bounds) return -3;
+        boundaries[nb++] = b2 + 1;
+        in_block = 0;
+      }
+    }
+    if (resume_bit) *resume_bit = end_bit;
+    if (inout_in_block) *inout_in_block = in_block;
+    if (out_bounds) *out_bounds = nb;
+    return (int64_t)count;
+  }
+  bool overflow_out = false, overflow_nb = false;
+  // per-bit walk over [bit, stop) with emission + boundary tracking
+  auto walk_bits = [&](uint64_t stop) {
+    for (; bit < stop; ++bit) {
+      int b = (comp[bit >> 3] >> (7 - (bit & 7))) & 1;
+      node = b ? right[node] : left[node];
+      if (left[node] < 0) {
+        if (p >= out_end) { overflow_out = true; return; }
+        *p++ = (uint8_t)letter[node];
+        node = root;
+        last_emit_end = bit + 1;
+        if (++in_block == block_len) {
+          if (nb >= max_bounds) { overflow_nb = true; return; }
+          boundaries[nb++] = bit + 1;
+          in_block = 0;
+        }
+      }
+    }
+  };
+  uint64_t head_stop = end_bit < ((bit + 7) & ~7ull) ? end_bit
+                                                     : ((bit + 7) & ~7ull);
+  walk_bits(head_stop);
+  if (overflow_out) return -1;
+  if (overflow_nb) return -3;
+  int16_t state = state_of_node[node];
+  uint64_t n_full = (end_bit - bit) >> 3;
+  const uint8_t* cp = comp + (bit >> 3);
+  for (uint64_t i = 0; i < n_full; ++i) {
+    uint64_t idx = (uint64_t)state * 256 + cp[i];
+    unsigned c = emit_count[idx];
+    if (in_block + c < block_len) {  // fast path: no boundary in this byte
+      if (p + 8 <= out_end) {
+        std::memcpy(p, emit_syms + idx * 8, 8);
+      } else {
+        if (p + c > out_end) return -1;
+        std::memcpy(p, emit_syms + idx * 8, (size_t)c);
+      }
+      p += c;
+      in_block += c;
+      if (c) last_emit_end = bit + i * 8 + last_emit_bit[idx] + 1;
+      state = next_state[idx];
+      continue;
+    }
+    // boundary inside this byte: re-walk it per bit, emitting
+    node = node_of_state[state];
+    uint64_t save = bit;
+    bit = save + 8 * i;
+    walk_bits(bit + 8);
+    if (overflow_out) return -1;
+    if (overflow_nb) return -3;
+    state = state_of_node[node];
+    bit = save;
+  }
+  bit += n_full * 8;
+  node = node_of_state[state];
+  walk_bits(end_bit);
+  if (overflow_out) return -1;
+  if (overflow_nb) return -3;
+  if (resume_bit) *resume_bit = last_emit_end;
+  if (inout_in_block) *inout_in_block = in_block;
+  if (out_bounds) *out_bounds = nb;
+  return (int64_t)(p - out);
+}
+
+// ---------------------------------------------------------------------------
+// crc32 (IEEE 802.3 / zlib polynomial, bit-reflected) — slicing-by-8.
+// Matches Python's zlib.crc32, so host fallbacks interoperate bit-exactly.
+// Integrity is a tpuhuff extension over the reference (.hf2 flags bit 1):
+// the reference decodes corrupt payloads to silently-wrong output
+// (comp.rs:487-519 walks whatever bits it is given).
+// ---------------------------------------------------------------------------
+static uint32_t g_crc_tab[8][256];
+static bool g_crc_init = [] {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+    g_crc_tab[0][i] = c;
+  }
+  for (uint32_t i = 0; i < 256; ++i)
+    for (int t = 1; t < 8; ++t)
+      g_crc_tab[t][i] =
+          g_crc_tab[0][g_crc_tab[t - 1][i] & 0xFF] ^ (g_crc_tab[t - 1][i] >> 8);
+  return true;
+}();
+
+uint32_t huffc_crc32(const uint8_t* data, uint64_t n, uint32_t seed) {
+  uint32_t c = ~seed;
+  uint64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint32_t lo, hi;
+    std::memcpy(&lo, data + i, 4);
+    std::memcpy(&hi, data + i + 4, 4);
+    lo ^= c;
+    c = g_crc_tab[7][lo & 0xFF] ^ g_crc_tab[6][(lo >> 8) & 0xFF] ^
+        g_crc_tab[5][(lo >> 16) & 0xFF] ^ g_crc_tab[4][lo >> 24] ^
+        g_crc_tab[3][hi & 0xFF] ^ g_crc_tab[2][(hi >> 8) & 0xFF] ^
+        g_crc_tab[1][(hi >> 16) & 0xFF] ^ g_crc_tab[0][hi >> 24];
+  }
+  for (; i < n; ++i) c = g_crc_tab[0][(c ^ data[i]) & 0xFF] ^ (c >> 8);
+  return ~c;
+}
+
+// Per-span CRC32 of a contiguous buffer: out[k] = crc32(data[k*span ..
+// min((k+1)*span, n))).  Threaded over spans (each span independent) —
+// verifies a group of decoded .hf2 blocks block-parallel.
+void huffc_crc32_blocks(const uint8_t* data, uint64_t n, uint64_t span,
+                        uint32_t* out, int num_threads) {
+  if (span == 0 || n == 0) return;
+  int64_t ns = (int64_t)((n + span - 1) / span);
+  auto do_range = [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      uint64_t a = (uint64_t)k * span;
+      uint64_t b = std::min<uint64_t>(a + span, n);
+      out[k] = huffc_crc32(data + a, b - a, 0);
+    }
+  };
+  int t = num_threads > 1 ? num_threads : 1;
+  if (t == 1 || ns < 2 * t) {
+    do_range(0, ns);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (ns + t - 1) / t;
+  for (int w = 0; w < t; ++w) {
+    int64_t lo = (int64_t)w * per, hi = std::min<int64_t>(lo + per, ns);
+    if (lo < hi) threads.emplace_back([&, lo, hi] { do_range(lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+}
+
 // Walk a bit range WITHOUT emitting, recording the bit offset after every
 // `block_len`-th letter — the .hff -> .hf2 transcoder's indexer (the index
 // is what the reference format lacks for parallel decode).  Resumable like

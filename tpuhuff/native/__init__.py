@@ -31,6 +31,9 @@ __all__ = [
     "decode",
     "decode_resume",
     "decode_blocks",
+    "decode_index",
+    "crc32",
+    "crc32_blocks",
     "extract_rows",
     "index_blocks",
     "stitch_blocks",
@@ -51,6 +54,7 @@ _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
 _i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
 
 def num_threads() -> int:
@@ -148,6 +152,19 @@ def _declare(lib: ctypes.CDLL) -> None:
         _u8p, ctypes.c_uint64, _u64p, ctypes.c_int,
     ]
     lib.huffc_encode_blocks.restype = ctypes.c_int64
+    lib.huffc_decode_index.argtypes = [
+        _u8p, ctypes.c_uint64, ctypes.c_uint64,
+        _i16p, _u8p, _u8p, _u8p, _i32p, _i32p, _i32p, _i16p, _i32p,
+        ctypes.c_int32, _u8p, ctypes.c_uint64, _u64p,
+        ctypes.c_uint64, _u64p, ctypes.c_int64, _u64p, _i64p,
+    ]
+    lib.huffc_decode_index.restype = ctypes.c_int64
+    lib.huffc_crc32.argtypes = [_u8p, ctypes.c_uint64, ctypes.c_uint32]
+    lib.huffc_crc32.restype = ctypes.c_uint32
+    lib.huffc_crc32_blocks.argtypes = [
+        _u8p, ctypes.c_uint64, ctypes.c_uint64, _u32p, ctypes.c_int,
+    ]
+    lib.huffc_crc32_blocks.restype = None
 
 
 def available() -> bool:
@@ -345,6 +362,71 @@ def decode_blocks(
     if r != 0:
         raise RuntimeError(f"huffc_decode_blocks failed on block {-r - 1}")
     return out, out_lens
+
+
+def decode_index(
+    comp: np.ndarray, start_bit: int, end_bit: int, tables: DfaTables,
+    out_cap: int, block_len: int, in_block: int = 0,
+) -> Tuple[bytes, np.ndarray, int, int]:
+    """Decode a bit range AND record block boundaries in one DFA pass.
+
+    The fused form of :func:`decode_resume` + :func:`index_blocks` — the
+    foreign-``.hff`` first decode emits its output and builds the block
+    index sidecar from a single payload walk (VERDICT r4 #5: previously an
+    index pass, a copy pass, and a decode pass).  Returns ``(out,
+    boundaries, resume_bit, in_block)``; resumable across windows like
+    :func:`decode_resume`."""
+    lib = _load()
+    assert lib is not None
+    comp = np.ascontiguousarray(comp, dtype=np.uint8)
+    out = np.empty(out_cap, dtype=np.uint8)
+    cap_b = int(end_bit - start_bit) // max(int(block_len), 1) + 2
+    bounds = np.zeros(cap_b, dtype=np.uint64)
+    state = np.asarray([in_block], dtype=np.uint64)
+    resume = np.zeros(1, dtype=np.uint64)
+    nb = np.zeros(1, dtype=np.int64)
+    r = int(
+        lib.huffc_decode_index(
+            comp, start_bit, end_bit,
+            tables.next_state.reshape(-1), tables.emit_count.reshape(-1),
+            tables.emit_syms.reshape(-1), tables.last_emit_bit.reshape(-1),
+            tables.left, tables.right, tables.letter, tables.state_of_node,
+            tables.node_of_state, tables.root, out, out_cap, resume,
+            block_len, bounds, cap_b, state, nb,
+        )
+    )
+    if r < 0:
+        raise RuntimeError(f"huffc_decode_index failed: {r}")
+    return (out[:r].tobytes(), bounds[: int(nb[0])].copy(), int(resume[0]),
+            int(state[0]))
+
+
+def crc32(data, seed: int = 0) -> int:
+    """zlib-compatible CRC32 (one call, threaded callers use crc32_blocks)."""
+    lib = _load()
+    assert lib is not None
+    data = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8)
+                                if isinstance(data, (bytes, bytearray,
+                                                     memoryview))
+                                else data, dtype=np.uint8)
+    return int(lib.huffc_crc32(data, data.size, seed & 0xFFFFFFFF))
+
+
+def crc32_blocks(data: np.ndarray, span: int,
+                 threads: int | None = None) -> np.ndarray:
+    """Per-span zlib CRC32s of a contiguous buffer, threaded over spans.
+
+    ``out[k] = crc32(data[k*span : (k+1)*span])`` (last span may be short).
+    The ``.hf2`` integrity column is these CRCs over the ORIGINAL bytes."""
+    lib = _load()
+    assert lib is not None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    ns = -(-data.size // max(span, 1)) if data.size else 0
+    out = np.zeros(ns, dtype=np.uint32)
+    if ns:
+        lib.huffc_crc32_blocks(data, data.size, span, out,
+                               threads or num_threads())
+    return out
 
 
 def build_dfa(tree) -> DfaTables:
