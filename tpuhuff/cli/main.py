@@ -95,6 +95,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-auto-index", action="store_true",
                    help="Disable the automatic block-index sidecar for "
                    "large .hff decodes (see io.stream.AUTO_INDEX_MIN)")
+    p.add_argument("--no-check", action="store_true",
+                   help="Skip the .hf2 per-block CRC32 integrity column "
+                   "(write) / its verification (read)")
     p.add_argument("--threads", type=int, default=None,
                    help="Host decode/stitch threads (default: all cores)")
     p.add_argument("--stats", action="store_true",
@@ -197,7 +200,8 @@ def main(argv=None) -> int:
                     stream.read_decompress_write_hf2(src, dst,
                                                      threads=args.threads,
                                                      device=args.device,
-                                                     stats=stats)
+                                                     stats=stats,
+                                                     check=not args.no_check)
                 else:
                     stream.read_decompress_write(
                         src, dst, block_size,
@@ -216,7 +220,8 @@ def main(argv=None) -> int:
                                  if args.hf2_block else None)
                     stream.read_compress_write_hf2(
                         src, dst, block_len=hf2_block, device=args.device,
-                        stats=stats, hist_sample=args.hist_sample)
+                        stats=stats, hist_sample=args.hist_sample,
+                        check=not args.no_check)
                 else:
                     stream.read_compress_write(src, dst, block_size,
                                                device=args.device,

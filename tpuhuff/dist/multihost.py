@@ -174,8 +174,8 @@ def compress_file_multihost(
     dst = table_off = sink = None
     if is_coordinator():
         dst = open(dst_path, "wb")
-        table_off, _ = write_hf2_prelude(dst, tree, total, block_len,
-                                         n_blocks, width, canonical)
+        table_off, _, _ = write_hf2_prelude(dst, tree, total, block_len,
+                                            n_blocks, width, canonical)
         sink = _BitSink(dst)
     pid = jax.process_index()
     cap_bytes = sc_blocks * block_len * ml // 8 + 8  # payload bound/super-chunk

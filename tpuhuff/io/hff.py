@@ -22,20 +22,31 @@ block length, sessions 5-7):
 
 ```
 bytes 0..4   : magic "HF2\\x02"
-byte  4      : flags (bit0: tree is canonical)
+byte  4      : flags (bit0: tree is canonical; bit1: CRC column present)
 byte  5      : block-table entry width in bytes (2, 4, or 8)
 bytes 6..10  : u32 BE tree byte length T
 byte  10     : tree padding bits
 bytes 11..19 : u64 BE original data length
 bytes 19..23 : u32 BE block length (bytes of input per block)
 bytes 23..27 : u32 BE number of blocks B
+[bytes ..+4  : u32 BE crc_every — blocks per CRC span; only if flags bit1]
 bytes ..+wB  : per-block payload BIT LENGTH, width w each, big-endian
+[bytes ..+4S : u32 BE zlib-CRC32 of each span's ORIGINAL bytes,
+               S = ceil(B / crc_every); only if flags bit1]
 bytes ..+T   : tree bits (zero-padded)
 bytes ..     : payload (all block bitstreams bit-concatenated, zero-padded)
 ```
 
 Version 1 (still read) differs in the table: no width byte, and the table
 holds u64 BE cumulative end-bit offsets instead of lengths.
+
+The CRC column (r5, flags bit 1 — on by default for new files) is a
+tpuhuff extension over the reference: the reference happily walks corrupt
+payload bits into silently-wrong output (`comp.rs:487-519`).  CRCs cover
+the *original* (decoded) bytes per span of ``crc_every`` blocks, so both
+the threaded host decoder and the device collect side verify
+block-parallel after decode.  ``crc_every`` defaults to one span per
+~64 KiB of input, keeping overhead under 0.01%.
 """
 
 from __future__ import annotations
@@ -73,6 +84,8 @@ class Hf2Header:
     block_len: int
     end_bits: np.ndarray  # (B,) uint64 cumulative end-bit offsets
     payload_offset: int   # file offset where payload bytes start
+    crc_every: int = 0    # blocks per CRC span (0: no integrity column)
+    crcs: np.ndarray | None = None  # (S,) uint32 per-span CRC32s
 
     @property
     def num_blocks(self) -> int:
@@ -81,6 +94,12 @@ class Hf2Header:
     @property
     def total_bits(self) -> int:
         return int(self.end_bits[-1]) if self.end_bits.size else 0
+
+
+def default_crc_every(block_len: int) -> int:
+    """One CRC span per ~64 KiB of input (>= 1 block): detection granularity
+    of a decode group at < 0.01% container overhead."""
+    return max(1, 65536 // max(block_len, 1))
 
 
 def hf2_table_width(block_len: int, max_code_len: int) -> int:
@@ -106,31 +125,40 @@ def write_hf2_prelude(
     n_blocks: int,
     width: int,
     canonical: bool = False,
-) -> Tuple[int, int]:
-    """Write the v2 header with a ZERO-filled block table (to be patched by
-    :func:`write_hf2_table_slice` as block lengths become known).
+    crc_every: int = 0,
+) -> Tuple[int, int, int]:
+    """Write the v2 header with ZERO-filled block/CRC tables (to be patched
+    by :func:`write_hf2_table_slice` / :func:`write_hf2_crc_slice` as the
+    values become known).
 
-    Returns ``(table_offset, payload_offset)``.
+    ``crc_every > 0`` reserves the integrity column (flags bit 1): one u32
+    CRC32 per span of ``crc_every`` blocks.  Returns ``(table_offset,
+    crc_offset, payload_offset)`` — ``crc_offset`` is 0 when no column.
     """
     tree_bin = tree.as_bin()
     tree_padding = calc_padding_bits(len(tree_bin))
     tree_bytes = tree_bin.to_bytes()
+    flags = (1 if canonical else 0) | (2 if crc_every > 0 else 0)
     fp.write(HF2_MAGIC)
-    fp.write(bytes([1 if canonical else 0]))
+    fp.write(bytes([flags]))
     fp.write(bytes([width]))
     fp.write(struct.pack(">I", len(tree_bytes)))
     fp.write(bytes([tree_padding]))
     fp.write(struct.pack(">Q", orig_len))
     fp.write(struct.pack(">I", block_len))
     fp.write(struct.pack(">I", n_blocks))
+    if crc_every > 0:
+        fp.write(struct.pack(">I", crc_every))
     table_offset = fp.tell()
-    left = width * n_blocks
+    n_spans = -(-n_blocks // crc_every) if crc_every > 0 else 0
+    left = width * n_blocks + 4 * n_spans
+    crc_offset = table_offset + width * n_blocks if crc_every > 0 else 0
     zeros = b"\x00" * min(left, 1 << 20)
     while left > 0:
         fp.write(zeros[: min(left, len(zeros))])
         left -= min(left, len(zeros))
     fp.write(tree_bytes)
-    return table_offset, fp.tell()
+    return table_offset, crc_offset, fp.tell()
 
 
 def write_hf2_table_slice(
@@ -150,6 +178,17 @@ def write_hf2_table_slice(
     pos = fp.tell()
     fp.seek(table_offset + width * first_block)
     fp.write(lens.astype(f">u{width}").tobytes())
+    fp.seek(pos)
+
+
+def write_hf2_crc_slice(
+    fp: BinaryIO, crc_offset: int, first_span: int, crcs: np.ndarray,
+) -> None:
+    """Patch per-span CRC32s for spans ``first_span..`` in place."""
+    pos = fp.tell()
+    fp.seek(crc_offset + 4 * first_span)
+    fp.write(np.ascontiguousarray(crcs, dtype=np.uint32).astype(">u4")
+             .tobytes())
     fp.seek(pos)
 
 
@@ -184,7 +223,9 @@ def write_hf2(
     lens = np.diff(end, prepend=np.uint64(0))
     lens_lut, _ = tree.encode_tables()
     width = hf2_table_width(block_len, int(np.asarray(lens_lut).max(initial=1)))
-    table_off, _payload_off = write_hf2_prelude(
+    # no original bytes in scope here, so no CRC column (flags bit 1 clear
+    # is a valid container; the streaming writers carry the integrity data)
+    table_off, _crc_off, _payload_off = write_hf2_prelude(
         fp, tree, orig_len, block_len, end.size, width, canonical
     )
     write_hf2_table_slice(fp, table_off, width, 0, lens)
@@ -207,6 +248,11 @@ def read_hf2_header(fp: BinaryIO) -> Hf2Header:
     (orig_len,) = struct.unpack(">Q", fp.read(8))
     (block_len,) = struct.unpack(">I", fp.read(4))
     (n_blocks,) = struct.unpack(">I", fp.read(4))
+    crc_every = 0
+    if magic == HF2_MAGIC and (flags & 2):
+        (crc_every,) = struct.unpack(">I", fp.read(4))
+        if crc_every == 0:
+            raise ValueError("hf2: invalid crc_every 0")
     if magic == HF2_MAGIC:
         lens = np.frombuffer(fp.read(width * n_blocks), dtype=f">u{width}")
         if lens.size != n_blocks:
@@ -216,6 +262,14 @@ def read_hf2_header(fp: BinaryIO) -> Hf2Header:
         end_bits = np.frombuffer(fp.read(8 * n_blocks), dtype=">u8").astype(
             np.uint64
         )
+    crcs = None
+    if crc_every:
+        n_spans = -(-n_blocks // crc_every)
+        crcs = np.frombuffer(fp.read(4 * n_spans), dtype=">u4").astype(
+            np.uint32
+        )
+        if crcs.size != n_spans:
+            raise ValueError("hf2: truncated crc column")
     tree_bytes = fp.read(tree_len)
     if len(tree_bytes) != tree_len:
         raise ValueError("hf2: truncated tree")
@@ -229,4 +283,6 @@ def read_hf2_header(fp: BinaryIO) -> Hf2Header:
         block_len=block_len,
         end_bits=end_bits,
         payload_offset=fp.tell(),
+        crc_every=crc_every,
+        crcs=crcs,
     )
