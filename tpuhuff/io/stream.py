@@ -1149,9 +1149,27 @@ def read_decompress_write_hf2(
     """
     chunk = chunk_bytes if chunk_bytes is not None else _CHUNK
     with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
-        hdr = read_hf2_header(src)
+        try:
+            hdr = read_hf2_header(src)
+        except StreamError:
+            raise
+        except ValueError as e:
+            # one typed error surface for every malformed container (the
+            # reference's InvalidHeaderInfo kind, error.rs:16-19)
+            raise StreamError(f"{src_path!r}: {e}",
+                              "InvalidHeaderInfo") from None
         if hdr.orig_len == 0:
             return
+        # header self-consistency: a corrupted orig_len/block_len/n_blocks
+        # would otherwise size output buffers from attacker-controlled
+        # fields (fuzz finding r5) — reject before any allocation
+        if (hdr.block_len == 0 or hdr.num_blocks == 0
+                or hdr.orig_len > hdr.num_blocks * hdr.block_len
+                or hdr.orig_len <= (hdr.num_blocks - 1) * hdr.block_len):
+            raise StreamError(
+                f"{src_path!r} stores invalid header information",
+                "InvalidHeaderInfo",
+            )
         verifier = None
         if check and hdr.crcs is not None and hdr.crc_every:
             verifier = _CrcVerifier(hdr.crcs,
