@@ -98,6 +98,20 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-check", action="store_true",
                    help="Skip the .hf2 per-block CRC32 integrity column "
                    "(write) / its verification (read)")
+    p.add_argument("--tree-from", default=None, metavar="FILE",
+                   help="Build the frequency table from FILE (sampled) and "
+                   "compress SRC single-pass with that shared tree "
+                   "(config 4)")
+    p.add_argument("--dataset", nargs="+", default=None, metavar="SRC",
+                   help="Compress many files under ONE shared frequency "
+                   "table (single-pass each; see --tree-from/--adaptive/"
+                   "--out-dir)")
+    p.add_argument("--out-dir", default=None, metavar="DIR",
+                   help="Output directory for --dataset (default: .)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="With --dataset: refresh the table per shard from "
+                   "the histogram gathered during the previous shard's "
+                   "encode (fused histogram+encode pipeline)")
     p.add_argument("--threads", type=int, default=None,
                    help="Host decode/stitch threads (default: all cores)")
     p.add_argument("--stats", action="store_true",
@@ -106,7 +120,7 @@ def _build_parser() -> argparse.ArgumentParser:
                    metavar="TRACE_DIR",
                    help="Print per-stage timings; with TRACE_DIR also write "
                    "a jax profiler trace there")
-    p.add_argument("SRC_FILE")
+    p.add_argument("SRC_FILE", nargs="?", default=None)
     p.add_argument("DST_FILE", nargs="?", default="./SRC_FILE.hff")
     return p
 
@@ -153,6 +167,49 @@ def main(argv=None) -> int:
     start = time.perf_counter()
     try:
         block_size = parse_block_size(args.block_size)
+        if args.dataset is not None:
+            # config 4: shared-tree (or adaptive) dataset compression
+            if args.decompress:
+                raise CliError("--dataset is a compression mode; decode "
+                               "each shard with -d", "InvalidInput")
+            for s in args.dataset:
+                if not os.path.exists(s):
+                    raise CliError(f"{s!r}: no such file", "Io")
+                if os.path.isdir(s):
+                    raise CliError(f"{s!r} is a directory", "NotFile")
+            if args.device:
+                from ..cache import enable_compile_cache
+
+                enable_compile_cache()
+            from ..io.dataset import compress_dataset
+
+            hf2_block = (parse_block_size(args.hf2_block)
+                         if args.hf2_block else None)
+            dstats: dict = {}
+            # table-build sampling defaults to 8 for datasets (the tree
+            # converges long before a full pass; --hist-sample overrides)
+            samp = args.hist_sample if args.hist_sample != 1 else 8
+            outs = compress_dataset(
+                args.dataset, out_dir=args.out_dir,
+                tree_from=args.tree_from, hist_sample=samp,
+                adaptive=args.adaptive, device=args.device,
+                hf2=True,  # dataset shards always get the indexed container
+                block_len=hf2_block, check=not args.no_check,
+                stats=dstats,
+            )
+            if args.replace:
+                for s in args.dataset:
+                    os.remove(s)
+            if args.stats:
+                print(f"{len(outs)} shards, {dstats['bytes']} bytes, "
+                      f"ratio {dstats['ratio']:.4f}, "
+                      f"{dstats['tree_builds']} tree build(s), "
+                      f"{dstats['bytes'] / max(time.perf_counter() - start, 1e-9) / 1e9:.3f} GB/s")
+            if args.time:
+                print(f"{time.perf_counter() - start:.6f}s")
+            return 0
+        if args.SRC_FILE is None:
+            raise CliError("SRC_FILE is required", "InvalidInput")
         if args.reindex:
             src = args.SRC_FILE
             if os.path.splitext(src)[1].lstrip(".") != EXTENSION:
@@ -215,18 +272,29 @@ def main(argv=None) -> int:
                     elif act == "reused":
                         print(f"using block-index sidecar '{src}.hf2x'")
             else:
+                tree = None
+                if args.tree_from:
+                    # config 4 single-file form: shared table from another
+                    # file -> pass 1 skipped, single-pass compress
+                    from ..io.dataset import build_shared_tree
+
+                    tree = build_shared_tree(
+                        args.tree_from, device=args.device,
+                        hist_sample=(args.hist_sample
+                                     if args.hist_sample != 1 else 8))
                 if args.hf2:
                     hf2_block = (parse_block_size(args.hf2_block)
                                  if args.hf2_block else None)
                     stream.read_compress_write_hf2(
                         src, dst, block_len=hf2_block, device=args.device,
                         stats=stats, hist_sample=args.hist_sample,
-                        check=not args.no_check)
+                        check=not args.no_check, tree=tree)
                 else:
                     stream.read_compress_write(src, dst, block_size,
                                                device=args.device,
                                                timer=timer, stats=stats,
-                                               hist_sample=args.hist_sample)
+                                               hist_sample=args.hist_sample,
+                                               tree=tree)
         if timer is not None:
             print(timer.report())
         if args.replace:

@@ -301,13 +301,17 @@ class _BitSink:
 def read_compress_write(
     src_path: str, dst_path: str, block_size: int = DEFAULT_BLOCK,
     device: bool = False, timer=None, stats: dict | None = None,
-    hist_sample: int = 1,
+    hist_sample: int = 1, tree: HuffTree | None = None,
 ) -> None:
     """Compress ``src`` into ``dst`` as ``.hff`` (`huff/src/comp.rs:32-74`).
 
     ``stats``: optional dict; device runs append each device-call wall time
     to ``stats["device_call_s"]`` so callers (CLI ``--stats``) can separate
     one-time JIT compile cost from steady-state throughput.
+
+    ``tree`` (r5, config 4): a pre-built shared tree skips pass 1 entirely
+    — single-pass compress; the tree must cover every byte of the file
+    (see :func:`read_compress_write_hf2`).
     """
     from ..profiling import StageTimer
 
@@ -315,8 +319,10 @@ def read_compress_write(
     size = os.path.getsize(src_path)
     nat = _native()
     with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
-        with timer.stage("histogram", size):
-            tree = huff_tree_from_stream(src, size, block_size, hist_sample)
+        if tree is None:
+            with timer.stage("histogram", size):
+                tree = huff_tree_from_stream(src, size, block_size,
+                                             hist_sample)
         tree_bin = tree.as_bin()
         tree_padding = calc_padding_bits(len(tree_bin))
         tree_bytes = tree_bin.to_bytes()
@@ -675,7 +681,8 @@ def _encode_block_group(
     return payload, int(bit_lens.sum()), bit_lens
 
 
-def _device_block_encoder(tree: HuffTree, block_len: int):
+def _device_block_encoder(tree: HuffTree, block_len: int,
+                          collect_hist: bool = False):
     """Device encoder for ``.hf2`` block groups.
 
     Container blocks are decoupled from kernel lanes (VERDICT r1 #4): each
@@ -684,6 +691,11 @@ def _device_block_encoder(tree: HuffTree, block_len: int):
     streams are bit-concatenated in order — bit-identical to encoding the
     whole block sequentially, since prefix-code concatenation is
     associative.  Per-block bit lengths are lane sums.
+
+    ``collect_hist`` (config 4): the chunk's exact 256-bin histogram rides
+    the encode program (the fused kernel's ``hist_data`` MXU operand on
+    TPU) and ``collect`` returns it as a fourth element — the single-pass
+    adaptive tree refresh of :func:`tpuhuff.io.dataset.compress_dataset`.
     """
     from ..dist import stitch_words
     from ..dist.block import pad_to_blocks
@@ -722,24 +734,36 @@ def _device_block_encoder(tree: HuffTree, block_len: int):
         jl, jv = jnp.asarray(lanes), jnp.asarray(valid)
         # the missing-letter guard rides the encode program (free on the
         # fused Pallas route, one fused LUT pass elsewhere) instead of a
-        # separate count_missing dispatch
-        words, bits, miss = encode_blocks(jl, dl, da, jv, max_code_len=ml,
-                                          canon_tables=canon_tabs,
-                                          full_alphabet=full_alpha,
-                                          with_miss=True)
-        return words, bits, miss, nb
+        # separate count_missing dispatch; ditto the adaptive-refresh
+        # histogram (hist_data — the fused kernel's MXU operand)
+        out = encode_blocks(jl, dl, da, jv, max_code_len=ml,
+                            canon_tables=canon_tabs,
+                            full_alphabet=full_alpha,
+                            with_miss=True,
+                            hist_data=jl if collect_hist else None)
+        words, bits, miss = out[:3]
+        hist = out[3] if collect_hist else None
+        pad_bytes = int(jl.size) - int(data.size)
+        return words, bits, miss, nb, hist, pad_bytes
 
-    def collect(handle) -> tuple[bytes, int, np.ndarray]:
-        """Sync a submitted chunk; host stitch of the device words."""
-        words, bits, miss, nb = handle
+    def collect(handle):
+        """Sync a submitted chunk; host stitch of the device words.
+
+        Returns ``(payload, total_bits, bit_lens)`` — plus the chunk's
+        histogram as a fourth element when built with ``collect_hist``."""
+        words, bits, miss, nb, hist, pad_bytes = handle
         if int(miss):
             raise CompressError("letter not found in codes", None)
         bits_np = np.asarray(bits).astype(np.uint64)
         payload, pad = stitch_words(np.asarray(words), bits_np)
         bit_lens = bits_np.reshape(nb, L).sum(axis=1)
-        return payload, int(bits_np.sum()), bit_lens
+        if not collect_hist:
+            return payload, int(bits_np.sum()), bit_lens
+        h = np.asarray(hist).astype(np.int64)
+        h[0] -= pad_bytes  # padding rows/lanes counted as byte 0
+        return payload, int(bits_np.sum()), bit_lens, h
 
-    def encode(data: np.ndarray, nb: int) -> tuple[bytes, int, np.ndarray]:
+    def encode(data: np.ndarray, nb: int):
         return collect(submit(data, nb))
 
     encode.submit = submit
@@ -752,7 +776,8 @@ def read_compress_write_hf2(
     device: bool = False, canonical: bool = True,
     chunk_bytes: int | None = None, stats: dict | None = None,
     hist_sample: int = 1, check: bool = True,
-) -> None:
+    tree: HuffTree | None = None, collect_hist: bool = False,
+) -> np.ndarray | None:
     """Compress into the block-indexed ``.hf2`` container — STREAMING.
 
     Two passes in bounded memory (the ``.hf2`` analogue of the reference's
@@ -782,6 +807,21 @@ def read_compress_write_hf2(
     (flags bit 1 — ``io.hff`` module docstring) so decoders detect payload
     corruption instead of emitting silently-wrong bytes like the reference
     (`comp.rs:487-519`).  < 0.01% size and < 1% time overhead.
+
+    ``tree`` (r5, config 4): a pre-built shared tree — pass 1 is SKIPPED
+    entirely, making this a single-pass compress at the pure encode rate
+    (the whole point of shared-tree dataset compression,
+    :func:`tpuhuff.io.dataset.compress_dataset`; the reference's analogue
+    is one whole-file tree reused across blocks, `huff/src/comp.rs:46-66`).
+    The tree must cover every byte of the file (smoothed/complete-alphabet
+    trees always do) or the encode raises :class:`CompressError`; with
+    ``device=True`` its code lengths must be <= 32 (``build_tree_for_device``
+    guarantees this).  ``canonical`` still applies (idempotent on canonical
+    trees).  ``collect_hist``: additionally return the file's exact 256-bin
+    histogram, gathered DURING the encode pass (the fused kernel's MXU
+    ``hist_data`` operand on device, the threaded C++ histogram on host) —
+    the adaptive per-shard tree refresh rides the encode instead of paying
+    a separate pass.
     """
     from ..core.canonical import build_tree_for_device, canonicalize
 
@@ -797,13 +837,12 @@ def read_compress_write_hf2(
     step_unit = span_bytes if crc_every else block_len
     step = max(1, chunk // step_unit) * step_unit
     with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
-        # pass 1: streamed histogram -> ONE whole-file tree.  Device mode
+        # pass 1: streamed histogram -> ONE whole-file tree (SKIPPED when a
+        # shared `tree` arrives — config 4's single-pass path).  Device mode
         # routes chunks through the Pallas/XLA histogram with the same
         # double-buffered submit pattern as pass 2 (the 40 GB/s G=8 kernel
         # beats host counting wherever H2D is not the bottleneck); the
         # accumulation stays on device until one final 256-int transfer.
-        bw = ByteWeights()
-        left = size
         samp = max(1, int(hist_sample))
 
         def sampled(piece: bytes) -> bytes:
@@ -811,56 +850,66 @@ def read_compress_write_hf2(
             # per `step` bytes of file
             return piece if samp == 1 else piece[: max(1, len(piece) // samp)]
 
-        if device:
-            import jax.numpy as jnp
+        if tree is None:
+            bw = ByteWeights()
+            left = size
+            # pass 1 needs no block alignment; clamp its read size so one
+            # chunk's device histogram (int32) can never overflow even for
+            # --hf2-block sizes beyond _CHUNK
+            hstep = min(step, 256 << 20)
+            if device:
+                import jax.numpy as jnp
 
-            from ..kernels.histogram import histogram
+                from ..kernels.histogram import histogram
 
-            # device histograms are int32; one chunk's max bin is <= step
-            # (< 2^27), so flushing the device accumulator to the host
-            # int64 total every 8 chunks keeps every partial sum < 2^30 —
-            # no overflow at any file size (review r4 finding #2), while
-            # the within-group accumulation stays async on device
-            host_acc = np.zeros(256, dtype=np.int64)
-            acc = None
-            acc_chunks = 0
-            pending = None
-            while True:
-                piece = src.read(min(step, left)) if left > 0 else b""
-                left -= len(piece)
-                handle = None
-                if piece:
-                    handle = histogram(jnp.asarray(
-                        np.frombuffer(sampled(piece), dtype=np.uint8)))
-                if pending is not None:
-                    acc = pending if acc is None else acc + pending
-                    acc_chunks += 1
-                    if acc_chunks >= 8:
-                        host_acc += np.asarray(acc).astype(np.int64)
-                        acc = None
-                        acc_chunks = 0
-                pending = handle
-                if pending is None and not piece:
-                    break
-            if acc is not None:
-                host_acc += np.asarray(acc).astype(np.int64)
-            bw = ByteWeights(host_acc)
-        else:
-            while left > 0:
-                piece = src.read(min(step, left))
-                if not piece:
-                    break
-                bw += ByteWeights.from_bytes(sampled(piece))
-                left -= len(piece)
-        if samp > 1 and size > 0:
-            # Laplace smoothing: a complete alphabet guarantees the encode
-            # pass cannot hit an unsampled (code-less) byte
-            bw = ByteWeights(bw.counts + 1)
-        if device:
-            # device codewords live in u32 lanes: length-limit deep trees
-            tree, _limited = build_tree_for_device(bw, max_len=32)
-        else:
-            tree = HuffTree.from_weights(bw)
+                # device histograms are int32; keep every device-side
+                # partial sum < 2^30 by flushing the accumulator to the
+                # host int64 total before 2^29 accumulated SAMPLED bytes
+                # (not a fixed chunk count: step tracks --hf2-block and can
+                # exceed 64 MiB — review r4 finding #2 / ADVICE r5 #2),
+                # while within-group accumulation stays async on device
+                host_acc = np.zeros(256, dtype=np.int64)
+                acc = None
+                acc_bytes = 0
+                pending = None
+                while True:
+                    piece = src.read(min(hstep, left)) if left > 0 else b""
+                    left -= len(piece)
+                    handle = None
+                    if piece:
+                        sp = sampled(piece)
+                        handle = (histogram(jnp.asarray(
+                            np.frombuffer(sp, dtype=np.uint8))), len(sp))
+                    if pending is not None:
+                        ph, pn = pending
+                        acc = ph if acc is None else acc + ph
+                        acc_bytes += pn
+                        if acc_bytes >= (1 << 29) - hstep:
+                            host_acc += np.asarray(acc).astype(np.int64)
+                            acc = None
+                            acc_bytes = 0
+                    pending = handle
+                    if pending is None and not piece:
+                        break
+                if acc is not None:
+                    host_acc += np.asarray(acc).astype(np.int64)
+                bw = ByteWeights(host_acc)
+            else:
+                while left > 0:
+                    piece = src.read(min(hstep, left))
+                    if not piece:
+                        break
+                    bw += ByteWeights.from_bytes(sampled(piece))
+                    left -= len(piece)
+            if samp > 1 and size > 0:
+                # Laplace smoothing: a complete alphabet guarantees the
+                # encode pass cannot hit an unsampled (code-less) byte
+                bw = ByteWeights(bw.counts + 1)
+            if device:
+                # device codewords live in u32 lanes: length-limit deep trees
+                tree, _limited = build_tree_for_device(bw, max_len=32)
+            else:
+                tree = HuffTree.from_weights(bw)
         if canonical:
             tree = canonicalize(tree)
         lens_lut, codes_lut = tree.encode_tables()
@@ -872,11 +921,13 @@ def read_compress_write_hf2(
         )
         # pass 2: chunked encode + incremental table patch
         src.seek(0)
-        enc = _device_block_encoder(tree, block_len) if device else None
+        enc = (_device_block_encoder(tree, block_len, collect_hist)
+               if device else None)
         nat = _native()
         sink = _BitSink(dst)
         bidx = 0
         left = size
+        hist_acc = np.zeros(256, dtype=np.int64) if collect_hist else None
         if enc is not None:
             # double-buffered device pipeline (r4, VERDICT r3 #5): chunk
             # k+1's read + H2D + kernel dispatch happen while chunk k's
@@ -903,7 +954,10 @@ def read_compress_write_hf2(
                         left = 0
                 if pending is not None:
                     h, nb_p, crcs_p, t0_p = pending
-                    payload, nbits, bit_lens = enc.collect(h)
+                    out = enc.collect(h)
+                    payload, nbits, bit_lens = out[:3]
+                    if collect_hist:
+                        hist_acc += out[3]
                     _record_call(stats, _now() - t0_p)
                     write_hf2_table_slice(dst, table_off, width, bidx,
                                           bit_lens[:nb_p])
@@ -926,6 +980,12 @@ def read_compress_write_hf2(
                 payload, nbits, bit_lens = _encode_block_group(
                     data, block_len, lens_lut, codes_lut, nat
                 )
+                if collect_hist:
+                    # threaded C++ count (or numpy bincount) — rides the
+                    # same pass over the already-loaded chunk
+                    hist_acc += (nat.hist(data) if nat is not None
+                                 else np.bincount(data, minlength=256)
+                                 .astype(np.int64))
                 write_hf2_table_slice(dst, table_off, width, bidx, bit_lens)
                 if crc_every:
                     write_hf2_crc_slice(dst, crc_off, bidx // crc_every,
@@ -933,6 +993,7 @@ def read_compress_write_hf2(
                 sink.write(payload, nbits)
                 bidx += nb
         sink.flush()
+        return hist_acc
 
 
 def _write_hf2_from_hff(

@@ -405,6 +405,7 @@ def encode_blocks(
     pallas: bool | None = None,
     full_alphabet: bool = False,
     with_miss: bool = False,
+    hist_data: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Pack blocks of bytes into Huffman bitstreams.
 
@@ -434,6 +435,13 @@ def encode_blocks(
     encode kernel for free; elsewhere it adds one LUT pass *inside the same
     program* (still one dispatch, unlike a separate
     :func:`count_missing` call).
+    ``hist_data`` (config 4's fused histogram+encode pipeline,
+    :func:`tpuhuff.io.dataset.compress_dataset`): a uint8 array whose
+    exact (256,) int32 histogram is appended to the returned tuple — on
+    the fused Pallas route the MXU histogram rides the VPU-bound encode
+    kernel (`pallas_encode2._encode_kernel_fused`); elsewhere the
+    histogram traces into the same program (one dispatch).  Typically the
+    chunk being encoded (adaptive tree refresh) or the next chunk.
     """
     if data.ndim == 1:
         data = data[None, :]
@@ -459,15 +467,21 @@ def encode_blocks(
             on_tpu = False
         # off-TPU an explicit pallas request runs the interpreter (Mosaic
         # only lowers for real TPUs); bit-identical, correctness-only speed
-        if with_miss and not fused_layout_ok(N, mb):
+        if (with_miss or hist_data is not None) and not fused_layout_ok(N, mb):
             w, b = encode_blocks_pallas2(data, canon_tables, mb, valid_lens,
                                          interpret=not on_tpu,
                                          full_alphabet=full_alphabet)
-            return w, b, _miss_inline(data, lens_lut, valid_lens, gf)
+            res = [w, b]
+            if with_miss:
+                res.append(_miss_inline(data, lens_lut, valid_lens, gf))
+            if hist_data is not None:
+                res.append(_hist_inline(hist_data))
+            return tuple(res)
         return encode_blocks_pallas2(data, canon_tables, mb, valid_lens,
                                      interpret=not on_tpu,
                                      full_alphabet=full_alphabet,
-                                     with_miss=with_miss)
+                                     with_miss=with_miss,
+                                     hist_data=hist_data)
 
     def lookup(d2):
         if canon_tables is not None:
@@ -489,25 +503,32 @@ def encode_blocks(
             vals, cur = _merge_level_t(vals, cur, mb)
             if mb is not None:
                 mb = min(2 * mb, 32 * vals.shape[1])
-        if with_miss:
-            return vals[0].T, cur[0], _miss_inline(data, lens_lut,
-                                                   valid_lens, gf)
-        return vals[0].T, cur[0]
-    lens, acodes = lookup(data)
-    if valid_lens is not None:
-        mask = jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None]
-        lens = jnp.where(mask, lens, 0)
-        acodes = jnp.where(mask, acodes, jnp.uint32(0))
-    vals = acodes[..., None]  # (B, N, 1)
-    cur = lens
-    while vals.shape[-2] > 1:
-        vals, cur = _merge_level(vals, cur, mb)
-        if mb is not None:
-            mb = min(2 * mb, 32 * vals.shape[-1])
+        res = [vals[0].T, cur[0]]
+    else:
+        lens, acodes = lookup(data)
+        if valid_lens is not None:
+            mask = jnp.arange(N, dtype=jnp.int32)[None, :] < valid_lens[:, None]
+            lens = jnp.where(mask, lens, 0)
+            acodes = jnp.where(mask, acodes, jnp.uint32(0))
+        vals = acodes[..., None]  # (B, N, 1)
+        cur = lens
+        while vals.shape[-2] > 1:
+            vals, cur = _merge_level(vals, cur, mb)
+            if mb is not None:
+                mb = min(2 * mb, 32 * vals.shape[-1])
+        res = [vals[..., 0, :], cur[..., 0]]
     if with_miss:
-        return (vals[..., 0, :], cur[..., 0],
-                _miss_inline(data, lens_lut, valid_lens, gf))
-    return vals[..., 0, :], cur[..., 0]
+        res.append(_miss_inline(data, lens_lut, valid_lens, gf))
+    if hist_data is not None:
+        res.append(_hist_inline(hist_data))
+    return tuple(res) if len(res) > 2 else (res[0], res[1])
+
+
+def _hist_inline(hist_data):
+    """Histogram of a second operand traced into the caller's program."""
+    from .histogram import histogram
+
+    return histogram(hist_data)
 
 
 def _miss_inline(data, lens_lut, valid_lens, gather_free: bool):
