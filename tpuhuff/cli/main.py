@@ -120,9 +120,109 @@ def _build_parser() -> argparse.ArgumentParser:
                    metavar="TRACE_DIR",
                    help="Print per-stage timings; with TRACE_DIR also write "
                    "a jax profiler trace there")
+    p.add_argument("--warmup", action="store_true",
+                   help="One-time device warmup: build the native library, "
+                   "pay the Mosaic compile-helper cold start, and compile "
+                   "the flagship kernels at the default shapes into the "
+                   "persistent cache (later --device runs skip the stall)")
     p.add_argument("SRC_FILE", nargs="?", default=None)
     p.add_argument("DST_FILE", nargs="?", default="./SRC_FILE.hff")
     return p
+
+
+def _warmup() -> int:
+    """``python -m tpuhuff --warmup`` (VERDICT r4 #10): the first device
+    use on a fresh machine pays the remote Mosaic compile-helper's cold
+    start (measured 57-280 s on the dev rig) plus each program's compile;
+    this pays them ONCE, up front, visibly, into the persistent cache."""
+    import numpy as np
+
+    def step(label, fn):
+        t0 = time.perf_counter()
+        try:
+            out = fn()
+            print(f"  {label}: ok ({time.perf_counter() - t0:.1f}s)")
+            return out
+        except Exception as e:  # noqa: BLE001 — warmup is best-effort
+            print(f"  {label}: skipped ({type(e).__name__}: {e})")
+            return None
+
+    print("tpuhuff warmup:")
+    from .. import native
+
+    step("native library build", lambda: native.available() or
+         (_ for _ in ()).throw(RuntimeError("compiler unavailable")))
+    from ..cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    print(f"  backend: {jax.default_backend()}")
+
+    def helper():
+        from ..kernels.histogram import histogram
+
+        return int(histogram(jnp.zeros(2 << 20, jnp.uint8))[0])
+
+    step("compile-helper cold start (one-time per session)", helper)
+
+    def roundtrip():
+        import tempfile
+
+        from ..io.stream import (
+            read_compress_write_hf2, read_decompress_write_hf2,
+        )
+
+        rng = np.random.default_rng(42)
+        text = (b"warmup corpus for the flagship kernel shapes " * 4096)
+        data = bytearray((text * (((8 << 20) // len(text)) + 1))[: 8 << 20])
+        idx = rng.integers(0, len(data), len(data) // 64)
+        for i in idx:
+            data[int(i)] = int(rng.integers(0, 256))
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "w.bin")
+            with open(src, "wb") as f:
+                f.write(bytes(data))
+            read_compress_write_hf2(src, os.path.join(td, "w.hf2"),
+                                    device=True)
+            read_decompress_write_hf2(os.path.join(td, "w.hf2"),
+                                      os.path.join(td, "w.out"),
+                                      device=True)
+
+    step("device .hf2 roundtrip (8 MiB, real writer/reader programs)",
+         roundtrip)
+
+    def big_shapes():
+        # the multi-chunk writers pad every chunk to the full 64 MiB step
+        # shape; compile that program WITHOUT uploading 64 MiB (AOT lower)
+        from ..core.canonical import canonicalize
+        from ..core.tree import HuffTree
+        from ..core.weights import ByteWeights
+        from ..io.stream import DEVICE_HF2_BLOCK, _CHUNK
+        from ..kernels.encode import (
+            encode_blocks, make_canonical_encode_tables, make_encode_tables,
+        )
+
+        text = (b"warmup corpus for the flagship kernel shapes " * 1024)
+        tree = canonicalize(HuffTree.from_weights(ByteWeights.from_bytes(
+            bytes(text))))
+        lens_t, codes_t = tree.encode_tables()
+        dl, da = make_encode_tables(lens_t, codes_t)
+        tabs = make_canonical_encode_tables(tree)
+        rows = _CHUNK // DEVICE_HF2_BLOCK
+        a = jax.ShapeDtypeStruct((rows, DEVICE_HF2_BLOCK), jnp.uint8)
+        v = jax.ShapeDtypeStruct((rows,), jnp.int32)
+        encode_blocks.lower(
+            a, dl, da, v, max_code_len=int(lens_t.max()),
+            canon_tables=tabs[:4], full_alphabet=bool(tabs[5]),
+            with_miss=True).compile()
+
+    step("64 MiB-chunk encode program (AOT, no upload)", big_shapes)
+    print("warmup complete — cached programs persist in .jax_cache; a "
+          "different tree's max code length still costs one small "
+          "program compile (seconds, helper now warm)")
+    return 0
 
 
 def _resolve_paths(args, ext: str):
@@ -167,6 +267,8 @@ def main(argv=None) -> int:
     start = time.perf_counter()
     try:
         block_size = parse_block_size(args.block_size)
+        if args.warmup:
+            return _warmup()
         if args.dataset is not None:
             # config 4: shared-tree (or adaptive) dataset compression
             if args.decompress:
@@ -297,6 +399,21 @@ def main(argv=None) -> int:
                                                tree=tree)
         if timer is not None:
             print(timer.report())
+        if args.device:
+            # first-use compile stall remedy (VERDICT r4 #10): estimate the
+            # JIT share of the first device call and point at --warmup
+            calls = stats.get("device_call_s", [])
+            jit_s = 0.0
+            if len(calls) >= 2:
+                rest = sorted(calls[1:])
+                jit_s = max(0.0, calls[0] - rest[len(rest) // 2])
+            elif len(calls) == 1:
+                jit_s = calls[0]
+            if jit_s > 5.0:
+                print(f"hint: ~{jit_s:.0f}s of this run was one-time kernel "
+                      "compilation; run `python -m tpuhuff --warmup` once "
+                      "to pre-compile into the persistent cache",
+                      file=sys.stderr)
         if args.replace:
             os.remove(src)
     except (CliError, ValueError) as e:
