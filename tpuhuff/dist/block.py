@@ -211,7 +211,11 @@ def sharded_decode_blocks(
         lens_lut, _ = tree.encode_tables()
         n_leaves = int((np.asarray(lens_lut) > 0).sum())
         levels = max(1, (max(n_leaves, 2) - 1).bit_length())
-        msb = int(np.asarray(lens_lut).max(initial=32))
+        # the tree's real max code length (NOT initial=32, which made the
+        # bound a no-op and disabled the roll/window-select pruning —
+        # ADVICE r4 #1); 32 only as the empty-code-set fallback
+        msb_arr = np.asarray(lens_lut)
+        msb = int(msb_arr.max(initial=0)) or 32
         if on_tpu:
             from ..kernels.pallas_decode import (
                 decode_rows_fused_general, make_general_fused_tables,

@@ -61,11 +61,18 @@ def initialize(
         num_processes = int(os.environ["TPUHUFF_NUM_PROCESSES"])
     if process_id is None and "TPUHUFF_PROCESS_ID" in os.environ:
         process_id = int(os.environ["TPUHUFF_PROCESS_ID"])
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # keep the public entry point idempotent even if the private
+        # global_state probe above breaks in a future JAX (ADVICE r4 #3):
+        # a second initialize raises RuntimeError("...already initialized")
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def _allgather_i64(arr: np.ndarray) -> np.ndarray:

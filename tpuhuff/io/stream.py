@@ -466,8 +466,19 @@ def _sidecar_matches(src_path: str, sidecar: str) -> bool:
 
     mtime alone is not enough — timestamp-preserving replacement (cp -p,
     rsync -t, tar -x) would silently serve the previous file's contents.
-    The transcoder copies tree + payload verbatim, so compare the tree
-    bits, the payload bit count, and the payload's first/last 4 KiB.
+    The sidecar carries the tree + payload verbatim, so compare the tree
+    bits, the payload bit count, and 16 stratified 4 KiB payload regions
+    (first, last, and 14 evenly spread — seeks, not a full read).
+
+    KNOWN LIMIT (ADVICE r4 #4): this is sampling, not a proof — a
+    same-size same-tree replacement differing ONLY between sampled
+    regions would pass.  The failure then stays detectable downstream:
+    the sidecar's CRC column was computed from the ORIGINAL decode, so
+    decoding the swapped payload against it raises ``CorruptData``
+    (unless the decode happens to still be byte-identical, in which case
+    serving it is correct anyway).  A full-payload hash here would cost a
+    complete extra read of the source on EVERY decode — the sampled check
+    plus CRC backstop covers the realistic cases for free.
     """
     try:
         with open(src_path, "rb") as s:
@@ -480,7 +491,10 @@ def _sidecar_matches(src_path: str, sidecar: str) -> bool:
                     return False
                 if hdr.tree.as_bin().to_bytes() != tree.as_bin().to_bytes():
                     return False
-                for off in {0, max(0, plen - 4096)}:
+                offs = {0, max(0, plen - 4096)}
+                for k in range(1, 15):
+                    offs.add(max(0, (plen * k) // 15 - 2048))
+                for off in sorted(offs):
                     s.seek(header_len + off)
                     f.seek(hdr.payload_offset + off)
                     n = min(4096, plen - off)
