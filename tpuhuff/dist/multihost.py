@@ -123,6 +123,7 @@ def _per_host_block_quota(total_len: int, block_len: int) -> int:
 def compress_file_multihost(
     src_path: str, dst_path: str, block_len: int = 65536,
     canonical: bool = True, chunk_bytes: int | None = None,
+    check: bool = True,
 ) -> None:
     """Config-5 orchestration, STREAMING: two passes in O(chunk) memory per
     host (the multi-host twin of ``read_compress_write_hf2``).
@@ -141,11 +142,22 @@ def compress_file_multihost(
 
     Every process calls this with the same paths (SPMD); only process 0
     writes.  Single-process: identical output, plain local loop.
+
+    ``check`` (r5): the per-span CRC32 integrity column is built
+    DISTRIBUTEDLY — each owner CRCs its super-chunk split at global span
+    boundaries, and the coordinator folds the (crc, len) pieces with
+    :func:`crc32_combine`; only 12 bytes per piece cross DCN.  The output
+    is byte-identical to the single-process ``read_compress_write_hf2``.
     """
     from ..core.canonical import build_tree_for_device, canonicalize
     from ..core.weights import ByteWeights
-    from ..io.hff import hf2_table_width, write_hf2_prelude, write_hf2_table_slice
-    from ..io.stream import _BitSink, _device_block_encoder
+    from ..io.hff import (
+        default_crc_every, hf2_table_width, write_hf2_crc_slice,
+        write_hf2_prelude, write_hf2_table_slice,
+    )
+    from ..io.stream import (
+        _BitSink, _device_block_encoder, crc32_combine, crc_span_pieces,
+    )
 
     nproc = jax.process_count()
     total = os.path.getsize(src_path)
@@ -177,12 +189,20 @@ def compress_file_multihost(
     width = hf2_table_width(block_len, ml)
     enc = _device_block_encoder(tree, block_len)
 
+    ce = default_crc_every(block_len) if check else 0
+    span = ce * block_len
+    # max span-pieces one super-chunk can produce (whole spans + 2 edges)
+    n_pieces = (sc_blocks * block_len) // span + 2 if ce else 0
+
     # ---- pass 2: round-robin super-chunks, ordered coordinator write ----
-    dst = table_off = sink = None
+    dst = table_off = crc_off = sink = None
+    # coordinator's streaming span-fold state (crc32_combine over pieces)
+    run_crc = run_len = span_idx = 0
     if is_coordinator():
         dst = open(dst_path, "wb")
-        table_off, _, _ = write_hf2_prelude(dst, tree, total, block_len,
-                                            n_blocks, width, canonical)
+        table_off, crc_off, _ = write_hf2_prelude(
+            dst, tree, total, block_len, n_blocks, width, canonical,
+            crc_every=ce)
         sink = _BitSink(dst)
     pid = jax.process_index()
     cap_bytes = sc_blocks * block_len * ml // 8 + 8  # payload bound/super-chunk
@@ -191,6 +211,7 @@ def compress_file_multihost(
             s_mine = r * nproc + pid
             my_payload = b""
             my_lens = np.zeros(sc_blocks, dtype=np.uint64)
+            my_pieces = np.zeros((max(n_pieces, 1), 2), dtype=np.int64)
             my_nb = 0
             if s_mine < n_sc:
                 b0 = s_mine * sc_blocks
@@ -204,6 +225,10 @@ def compress_file_multihost(
                 if data.size:
                     my_payload, _nbits, bl = enc(data, my_nb)
                     my_lens[: my_nb] = bl
+                    if ce:
+                        for j, (c, ln) in enumerate(
+                                crc_span_pieces(data, b0 * block_len, span)):
+                            my_pieces[j] = (c, ln)
             if nproc > 1:
                 from jax.experimental import multihost_utils
 
@@ -221,10 +246,12 @@ def compress_file_multihost(
                 pad[: len(my_payload)] = np.frombuffer(my_payload, np.uint8)
                 pays = multihost_utils.process_allgather(pad)
                 lens_all = _allgather_i64(my_lens).astype(np.uint64)
+                pieces_all = (_allgather_i64(my_pieces) if ce else None)
             else:
                 metas = np.asarray([[len(my_payload), my_nb]])
                 pays = np.frombuffer(my_payload, np.uint8)[None, :]
                 lens_all = my_lens[None, :]
+                pieces_all = my_pieces[None, :] if ce else None
             if is_coordinator():
                 for h in range(nproc):
                     s = r * nproc + h
@@ -236,7 +263,25 @@ def compress_file_multihost(
                                           s * sc_blocks, bl)
                     sink.write(pays[h, : int(metas[h, 0])].tobytes(),
                                int(bl.sum()))
+                    if ce:
+                        # fold this super-chunk's span pieces in order
+                        for c, ln in pieces_all[h]:
+                            if ln == 0:
+                                break
+                            run_crc = (int(c) if run_len == 0 else
+                                       crc32_combine(run_crc, int(c),
+                                                     int(ln)))
+                            run_len += int(ln)
+                            if run_len == span:
+                                write_hf2_crc_slice(
+                                    dst, crc_off, span_idx,
+                                    np.asarray([run_crc], np.uint32))
+                                span_idx += 1
+                                run_crc = run_len = 0
     if is_coordinator():
+        if ce and run_len:
+            write_hf2_crc_slice(dst, crc_off, span_idx,
+                                np.asarray([run_crc], np.uint32))
         sink.flush()
         dst.close()
     if nproc > 1:
@@ -310,7 +355,7 @@ def compress_multihost(
 
 def decompress_file_multihost(
     src_path: str, dst_path: str, device: bool = True,
-    threads: Optional[int] = None,
+    threads: Optional[int] = None, check: bool = True,
 ) -> None:
     """Config-5 decode side: every host reads ONLY the payload byte range
     covering its contiguous block share of the ``.hf2``, decodes it
@@ -396,6 +441,41 @@ def decompress_file_multihost(
                 rel_starts.astype(np.uint64), rel_ends.astype(np.uint64),
                 tables, offs, caps, threads)
             out_bytes = out_buf[:out_len].tobytes()
+        if check and hdr.crcs is not None and hdr.crc_every and out_len > 0:
+            # verify every CRC span fully contained in this host's block
+            # range (a span straddling a host boundary — at most one per
+            # seam, when the block quota is not a span multiple — has its
+            # bytes split across hosts and is skipped; the local reader
+            # verifies those on any whole-file decode)
+            from ..io.stream import _crc_spans, _native
+
+            ce = hdr.crc_every
+            span_b = ce * hdr.block_len
+            s0 = -(-lo_b // ce)
+            s_full_end = hi_b // ce
+            obuf = np.frombuffer(out_bytes, dtype=np.uint8)
+            if s_full_end > s0:
+                rel0 = s0 * span_b - out_lo
+                got = _crc_spans(
+                    obuf[rel0 : rel0 + (s_full_end - s0) * span_b],
+                    span_b, _native())
+                want = hdr.crcs[s0 : s_full_end]
+                if not np.array_equal(got, want):
+                    bad = s0 + int(np.argmax(got != want))
+                    raise StreamError(
+                        f"{src_path!r} block CRC mismatch in span {bad} "
+                        f"(corrupt payload or index)", "CorruptData")
+            if (hi_b == B and s_full_end * ce >= lo_b
+                    and s_full_end < hdr.crcs.size):
+                # the file's final (partial) span, fully owned by this host
+                rel = s_full_end * span_b - out_lo
+                got_t = _crc_spans(obuf[rel:], span_b, _native())
+                if (got_t.size != 1
+                        or int(got_t[0]) != int(hdr.crcs[s_full_end])):
+                    raise StreamError(
+                        f"{src_path!r} block CRC mismatch in span "
+                        f"{s_full_end} (corrupt payload or index)",
+                        "CorruptData")
         fd = os.open(dst_path, os.O_WRONLY)
         try:
             os.pwrite(fd, out_bytes, out_lo)

@@ -205,6 +205,87 @@ class _CrcVerifier:
             self.in_span = 0
 
 
+def _gf2_matrix_times(mat, vec: int) -> int:
+    s = 0
+    i = 0
+    while vec:
+        if vec & 1:
+            s ^= mat[i]
+        vec >>= 1
+        i += 1
+    return s
+
+
+def _gf2_matrix_square(square, mat) -> None:
+    for n in range(32):
+        square[n] = _gf2_matrix_times(mat, mat[n])
+
+
+def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
+    """``crc32(A || B)`` from ``crc32(A)``, ``crc32(B)`` and ``len(B)``
+    (zlib's crc32_combine, GF(2) matrix exponentiation).
+
+    Lets distributed writers CRC a span whose bytes live on several hosts:
+    each host CRCs its local piece, the coordinator combines in order —
+    O(32^2 log len) per combine, no byte ever crosses the network for it
+    (the config-5 multihost ``.hf2`` integrity column)."""
+    if len2 <= 0:
+        return crc1
+    even = [0] * 32
+    odd = [0] * 32
+    odd[0] = 0xEDB88320  # the CRC-32 polynomial, bit-reflected
+    row = 1
+    for n in range(1, 32):
+        odd[n] = row
+        row <<= 1
+    _gf2_matrix_square(even, odd)   # even = x^2
+    _gf2_matrix_square(odd, even)   # odd = x^4
+    while True:
+        _gf2_matrix_square(even, odd)
+        if len2 & 1:
+            crc1 = _gf2_matrix_times(even, crc1)
+        len2 >>= 1
+        if len2 == 0:
+            break
+        _gf2_matrix_square(odd, even)
+        if len2 & 1:
+            crc1 = _gf2_matrix_times(odd, crc1)
+        len2 >>= 1
+        if len2 == 0:
+            break
+    return (crc1 ^ crc2) & 0xFFFFFFFF
+
+
+def crc_span_pieces(data: np.ndarray, global_off: int, span: int,
+                    nat=None) -> list:
+    """Split ``data`` (living at ``global_off`` in the logical stream) at
+    global ``span`` boundaries and CRC each piece: ``[(crc, nbytes), ...]``.
+    A distributed writer gathers these and folds them into whole-span CRCs
+    with :func:`crc32_combine`."""
+    import zlib
+
+    if nat is None:
+        nat = _native()
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    pieces = []
+    pos, n = 0, data.size
+    while pos < n:
+        take = min(span - ((global_off + pos) % span), n - pos)
+        if take == span and n - pos >= span:
+            # bulk run of aligned whole spans: one threaded native call
+            k = (n - pos) // span
+            for c in _crc_spans(data[pos : pos + k * span], span, nat):
+                pieces.append((int(c), span))
+            pos += k * span
+            continue
+        piece = data[pos : pos + take]
+        c = (nat.crc32(piece) if nat is not None
+             else zlib.crc32(piece) & 0xFFFFFFFF)
+        pieces.append((int(c), take))
+        pos += take
+    return pieces
+
+
 class _CrcCollector:
     """Streaming producer of the ``.hf2`` CRC column: feed decoded bytes in
     order, collect one CRC32 per ``span_bytes`` (the write-side twin of
