@@ -40,18 +40,28 @@ __all__ = ["build_shared_tree", "compress_dataset", "tree_from_counts"]
 
 
 def tree_from_counts(counts: np.ndarray, device: bool = True,
-                     canonical: bool = True, smooth: bool = True) -> HuffTree:
+                     canonical: bool = True, smooth: bool = True,
+                     max_len: int | None = None) -> HuffTree:
     """Tree from a 256-bin count table: Laplace-smoothed (complete alphabet
     — any shard encodes exactly, the missing-letter guard can never fire),
     length-limited for the device kernels, canonical for the fast decode
-    ladder."""
+    ladder.
+
+    Device trees are limited to **16** bits by default (not the u32-lane
+    32): smoothing gives rare bytes count 1, whose unconstrained codes on
+    a ~100 MB shard run ~26 bits — past the fused encode kernel's
+    pair-merge bound (``2*max_len <= 32``, `pallas_encode2`) and widening
+    the decode ladder.  Package-merge under the 16 cap costs ~nothing on
+    those near-zero-probability symbols and keeps every shard on the fused
+    kernels — the TPU-first trade."""
     from ..core.canonical import build_tree_for_device, canonicalize
 
     c = np.asarray(counts, dtype=np.int64)
     if smooth:
         c = c + 1
     if device:
-        tree, _limited = build_tree_for_device(ByteWeights(c), max_len=32)
+        ml = 16 if max_len is None else max_len
+        tree, _limited = build_tree_for_device(ByteWeights(c), max_len=ml)
     else:
         tree = HuffTree.from_weights(ByteWeights(c))
     return canonicalize(tree) if canonical else tree
