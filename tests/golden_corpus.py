@@ -127,7 +127,14 @@ def build_entry(name: str, data: np.ndarray, tmpdir: str) -> dict:
     hf2 = src + ".hf2"
     data.tofile(src)
     read_compress_write(src, hff)
-    read_compress_write_hf2(src, hf2, block_len=1024)
+    # hf2_sha256 stays pinned on the CRC-less container: it freezes the
+    # payload/tree/table BITS across releases.  The r5 default adds the
+    # per-span CRC32 column (flags bit 1) — additive metadata, pinned
+    # separately as hf2_crc_sha256 (CRCs are a deterministic function of
+    # the input, so the full default container is frozen too).
+    read_compress_write_hf2(src, hf2, block_len=1024, check=False)
+    hf2c = src + ".crc.hf2"
+    read_compress_write_hf2(src, hf2c, block_len=1024)
     hff_bytes = open(hff, "rb").read()
     entry = {
         "input_len": int(data.size),
@@ -136,6 +143,7 @@ def build_entry(name: str, data: np.ndarray, tmpdir: str) -> dict:
         "hff_len": len(hff_bytes),
         "data_padding": hff_bytes[0] & 0x0F,
         "hf2_sha256": _sha(open(hf2, "rb").read()),
+        "hf2_crc_sha256": _sha(open(hf2c, "rb").read()),
     }
     # pinned --reindex output (VERDICT r2 next #10): the .hff -> .hf2
     # transcoder copies payload bits verbatim, so its output is as frozen as

@@ -192,6 +192,41 @@ def make_canonical_encode_tables(tree):
     )
 
 
+def make_combined_encode_tables(tree):
+    """Tables for the ``TPUHUFF_ENC_COMBINED`` kernel path (r5, VERDICT r4
+    #8): one pre-combined 16-bit entry ``(acode12 << 4) | len`` per byte,
+    split into packed low/high byte-planes occupying the standard
+    canon_tables slots — (lo4[64]→inv4, zeros[8]→present, hi4[:32]→cumle,
+    hi4[32:]→dd).  Returns ``(t0, t1, t2, t3, max_len, full_alphabet)`` or
+    None when the tree is not canonical or deeper than 12."""
+    tabs = make_canonical_encode_tables(tree)
+    if tabs is None or tabs[4] > 12:
+        return None
+    lens = np.asarray(tree.encode_tables()[0], dtype=np.int64)
+    codes = np.asarray(tree.encode_tables()[1], dtype=np.uint64)
+    C = np.zeros(256, dtype=np.uint32)
+    mask = lens > 0
+    acode12 = (codes[mask] << (12 - lens[mask]).astype(np.uint64)).astype(
+        np.uint32)
+    C[mask] = (acode12 << 4) | lens[mask].astype(np.uint32)
+    lo = C & 0xFF
+    hi = (C >> 8) & 0xFF
+
+    def pack4(v):
+        return (v[0::4] | (v[1::4] << 8) | (v[2::4] << 16)
+                | (v[3::4] << 24)).astype(np.uint32)
+
+    lo4, hi4 = pack4(lo), pack4(hi)
+    return (
+        jnp.asarray(lo4),
+        jnp.asarray(np.zeros(8, dtype=np.uint32)),
+        jnp.asarray(hi4[:32].view(np.int32)),
+        jnp.asarray(hi4[32:].view(np.int32)),
+        tabs[4],
+        tabs[5],
+    )
+
+
 def lut_canonical(
     data_i32: jnp.ndarray, invperm4, present, cumle, dd, max_len: int,
     full_alphabet: bool = False,

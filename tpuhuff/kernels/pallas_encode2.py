@@ -76,6 +76,15 @@ def _resolve_groups() -> int:
 # env var before importing, or assign the module attributes directly.
 ENC_LAYOUT = _resolve_layout()
 ENC_GROUPS = _resolve_groups()
+# r5 experiment (VERDICT r4 #8): replace the rank-lookup + compare ladder
+# with ONE pre-combined 16-bit entry per byte — (acode12 << 4) | len —
+# evaluated as two 64-select nibble trees sharing the same bit predicates.
+# Requires max code length <= 12 (a 12-limited tree) and combined tables
+# in the canon_tables slots (kernels.encode.make_combined_encode_tables):
+# inv4 slot = packed LOW bytes, cumle/dd slots = packed HIGH bytes.
+# Slightly more raw ops than the ladder (~126 selects vs ~120 mixed) but
+# ZERO serial dependency chain and zero integer multiplies.
+ENC_COMBINED = _os.environ.get("TPUHUFF_ENC_COMBINED", "0") == "1"
 # in-kernel MXU transpose of the words output into container row layout
 # (r4): on by default; TPUHUFF_ENC_TOUT=0 restores the XLA-side inverse
 # layout (_from_cells) for A/B
@@ -110,8 +119,28 @@ def _ladder(d, sym_idx, valid, inv4_ref, pres_ref, cumle_ref, dd_ref,
     Returns ``(x, ln)`` — the left-aligned code word and its bit length
     (0 for out-of-alphabet bytes or ``sym_idx >= valid``).  Mirrors
     :func:`tpuhuff.kernels.encode.lut_canonical`.
+
+    With ``ENC_COMBINED`` (and combined tables in the refs, ML <= 12) the
+    per-symbol resolve is two 64-select trees over a pre-combined
+    ``(acode12 << 4) | len`` entry instead of rank lookup + ladder.
     """
     bits_d = [((d >> (k + 2)) & 1) == 1 for k in range(6)]
+    if ENC_COMBINED:
+        lo_w = _sel_scalar(bits_d, inv4_ref, 0, 64).astype(jnp.uint32)
+        hi_a = _sel_scalar(bits_d, cumle_ref, 0, 32)
+        hi_b = _sel_scalar(bits_d, dd_ref, 0, 32)
+        hi_w = jnp.where(bits_d[5], hi_b, hi_a).astype(jnp.uint32)
+        sh = ((d & 3).astype(jnp.uint32) * 8)
+        C = (((lo_w >> sh) & jnp.uint32(0xFF))
+             | (((hi_w >> sh) & jnp.uint32(0xFF)) << 8))
+        ln = (C & jnp.uint32(0xF)).astype(jnp.int32)
+        # acode32 = val << (32 - len) = (val << (12 - len)) << 20 — a
+        # STATIC shift; absent bytes have C = 0 -> ln 0, x 0 (membership
+        # rides the table, no present-word tree)
+        x = (C >> jnp.uint32(4)) << jnp.uint32(20)
+        ln = jnp.where(sym_idx < valid, ln, 0)
+        x = jnp.where(ln == 0, jnp.uint32(0), x)
+        return x, ln
     word = _sel_scalar(bits_d, inv4_ref, 0, 64)
     sh = ((d & 3).astype(jnp.uint32) * 8)
     rank = ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
