@@ -83,3 +83,43 @@ def test_pallas2_deep_tree_no_halving():
     assert np.array_equal(np.asarray(b), np.asarray(b_ref))
     m = min(w.shape[1], w_ref.shape[1])
     assert np.array_equal(np.asarray(w)[:, :m], np.asarray(w_ref)[:, :m])
+
+
+def test_pallas2_combined_tables_parity():
+    """The r5 combined-entry path (TPUHUFF_ENC_COMBINED, VERDICT r4 #8):
+    two shared-predicate 64-select trees over (acode12<<4)|len must be
+    bit-identical to the ladder, incl. ragged valid lengths and
+    out-of-alphabet bytes (membership rides the table: absent -> C=0)."""
+    from tpuhuff.core.canonical import build_tree_for_device
+    from tpuhuff.kernels import pallas_encode2 as pe2
+    from tpuhuff.kernels.encode import make_combined_encode_tables
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 200, (4, 256), dtype=np.uint8)
+    data[3, 100:] = 201  # bytes with no code in the tree
+    bw = ByteWeights.from_bytes(data[:3].reshape(-1).tobytes()
+                                + data[3, :100].tobytes())
+    tree, _ = build_tree_for_device(bw, max_len=12)
+    tree = canonicalize(tree)
+    tabs = make_canonical_encode_tables(tree)
+    ctabs = make_combined_encode_tables(tree)
+    assert ctabs is not None and ctabs[4] <= 12
+    valid = jnp.asarray(np.array([256, 256, 199, 100], np.int32))
+    w_ref, b_ref = encode_blocks_pallas2(
+        jnp.asarray(data), tabs[:4], tabs[4], valid_lens=valid,
+        interpret=True)
+    pe2.ENC_COMBINED = True
+    pe2._encode_call_fused.clear_cache()
+    pe2._encode_call.clear_cache()
+    pe2._encode_call_cells.clear_cache()
+    try:
+        w, b = encode_blocks_pallas2(
+            jnp.asarray(data), ctabs[:4], ctabs[4], valid_lens=valid,
+            interpret=True)
+    finally:
+        pe2.ENC_COMBINED = False
+        pe2._encode_call_fused.clear_cache()
+        pe2._encode_call.clear_cache()
+        pe2._encode_call_cells.clear_cache()
+    assert np.array_equal(np.asarray(b), np.asarray(b_ref))
+    assert np.array_equal(np.asarray(w), np.asarray(w_ref))
