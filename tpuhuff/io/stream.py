@@ -872,6 +872,7 @@ def read_compress_write_hf2(
     chunk_bytes: int | None = None, stats: dict | None = None,
     hist_sample: int = 1, check: bool = True,
     tree: HuffTree | None = None, collect_hist: bool = False,
+    max_code_len: int | None = None,
 ) -> np.ndarray | None:
     """Compress into the block-indexed ``.hf2`` container — STREAMING.
 
@@ -1001,8 +1002,17 @@ def read_compress_write_hf2(
                 # encode pass cannot hit an unsampled (code-less) byte
                 bw = ByteWeights(bw.counts + 1)
             if device:
-                # device codewords live in u32 lanes: length-limit deep trees
-                tree, _limited = build_tree_for_device(bw, max_len=32)
+                # device codewords live in u32 lanes: length-limit deep
+                # trees.  An explicit max_code_len (CLI --max-code-len) is
+                # a measured speed/ratio knob: 12 on text-like data costs
+                # ~0.6% ratio and buys ~4% encode (2 fewer ladder levels)
+                # plus tighter decode scan bounds (PERF_NOTES r5).
+                ml_cap = 32 if max_code_len is None else min(max_code_len,
+                                                             32)
+                tree, _limited = build_tree_for_device(bw, max_len=ml_cap)
+            elif max_code_len is not None:
+                tree, _limited = build_tree_for_device(bw,
+                                                       max_len=max_code_len)
             else:
                 tree = HuffTree.from_weights(bw)
         if canonical:
