@@ -235,6 +235,21 @@ def main() -> None:
     log(f"two-pass (hist-sample 8) {tps_per*1e3:.2f}ms -> "
         f"{tps_gbps:.2f} GB/s")
 
+    extra = {
+        "workload": f"{DATA_MB}MiB textlike, block={CONTAINER_BLOCK}, "
+                    f"lane={LANE}",
+        "cache_state": cache_state,
+        "two_pass_gbps": round(tp_gbps, 3),  # histogram pass + encode pass
+        "two_pass_sampled_gbps": round(tps_gbps, 3),  # --hist-sample 8 mode
+        "encode_compile_s": round(enc_compile + tp_compile, 1),
+        "sampled_compile_s": round(tps_compile, 1),
+        "helper_warmup_s": round(helper_warmup_s, 1),
+        "max_code_len": ML,
+        "honest": "all outputs bitcast-reduced in the timed loops; r3's "
+                  "partial consumption let XLA DCE output-layout passes "
+                  "(decode overstated ~38%, PERF_NOTES r4)",
+    }
+
     # ---- config 4: shared-tree dataset compression steady state ----
     # shared mode: the table is built once per DATASET (sampled pass),
     # then every shard pays only this single encode pass — the per-shard
@@ -326,21 +341,6 @@ def main() -> None:
         raise
     except Exception as e:
         log(f"full-payload SHA check skipped: {type(e).__name__}: {e}")
-
-    extra = {
-        "workload": f"{DATA_MB}MiB textlike, block={CONTAINER_BLOCK}, "
-                    f"lane={LANE}",
-        "cache_state": cache_state,
-        "two_pass_gbps": round(tp_gbps, 3),  # histogram pass + encode pass
-        "two_pass_sampled_gbps": round(tps_gbps, 3),  # --hist-sample 8 mode
-        "encode_compile_s": round(enc_compile + tp_compile, 1),
-        "sampled_compile_s": round(tps_compile, 1),
-        "helper_warmup_s": round(helper_warmup_s, 1),
-        "max_code_len": ML,
-        "honest": "all outputs bitcast-reduced in the timed loops; r3's "
-                  "partial consumption let XLA DCE output-layout passes "
-                  "(decode overstated ~38%, PERF_NOTES r4)",
-    }
 
     # ---- decode e2e: .hf2 --device product path at its default block ----
     try:
