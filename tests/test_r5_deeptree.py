@@ -88,3 +88,51 @@ def test_fib_device_hf2_writer_end_to_end(tmp_path):
     ohost = tmp_path / "fib_host.out"
     read_decompress_write_hf2(str(hf2_host), str(ohost))
     assert ohost.read_bytes() == data.tobytes()
+
+
+def test_fib_hff_device_writer_falls_back(tmp_path):
+    """The .hff --device writer must take the same 32-bit length-limit
+    fallback as the .hf2 writer on deep trees (r5 fix: it previously
+    raised OverflowError from make_encode_tables), while keeping
+    byte-parity with the host writer on normal inputs."""
+    from tpuhuff.io.stream import read_compress_write, read_decompress_write
+
+    data = _fib_data()
+    src = tmp_path / "f.bin"
+    hff = tmp_path / "f.hff"
+    out = tmp_path / "f.out"
+    src.write_bytes(data.tobytes())
+    read_compress_write(str(src), str(hff), device=True)
+    read_decompress_write(str(hff), str(out), auto_index=False)
+    assert out.read_bytes() == data.tobytes()
+    # normal input: device and host writers emit identical bytes
+    src.write_bytes(b"normal text input " * 3000)
+    read_compress_write(str(src), str(hff), device=True)
+    d1 = hff.read_bytes()
+    read_compress_write(str(src), str(hff))
+    assert d1 == hff.read_bytes()
+
+
+def test_max_code_len_knob_hff_and_hf2(tmp_path):
+    """--max-code-len (r5 speed/ratio knob): limited containers stay
+    valid and decode exactly on both formats."""
+    from tpuhuff.io.hff import read_hf2_header
+    from tpuhuff.io.stream import (
+        read_compress_write, read_compress_write_hf2,
+        read_decompress_write, read_decompress_write_hf2,
+    )
+
+    data = _fib_data()
+    src = tmp_path / "k.bin"
+    src.write_bytes(data.tobytes())
+    hff = tmp_path / "k.hff"
+    read_compress_write(str(src), str(hff), max_code_len=12)
+    out = tmp_path / "k.out"
+    read_decompress_write(str(hff), str(out), auto_index=False)
+    assert out.read_bytes() == data.tobytes()
+    hf2 = tmp_path / "k.hf2"
+    read_compress_write_hf2(str(src), str(hf2), max_code_len=12)
+    with open(hf2, "rb") as fp:
+        assert read_hf2_header(fp).tree.max_code_len() <= 12
+    read_decompress_write_hf2(str(hf2), str(out))
+    assert out.read_bytes() == data.tobytes()

@@ -402,7 +402,8 @@ def main(argv=None) -> int:
                                                device=args.device,
                                                timer=timer, stats=stats,
                                                hist_sample=args.hist_sample,
-                                               tree=tree)
+                                               tree=tree,
+                                               max_code_len=args.max_code_len)
         if timer is not None:
             print(timer.report())
         if args.device:

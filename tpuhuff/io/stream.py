@@ -86,15 +86,8 @@ def _record_call(stats: dict | None, dt: float) -> None:
         stats.setdefault("device_call_s", []).append(dt)
 
 
-def huff_tree_from_stream(fp: BinaryIO, size: int, block_size: int,
-                          hist_sample: int = 1) -> HuffTree:
-    """Pass 1: histogram the whole stream, build the file tree
-    (`huff/src/comp.rs:161-172`).
-
-    ``hist_sample > 1``: count only each chunk's first ``1/hist_sample``
-    bytes and Laplace-smooth (+1 every bin) — the complete alphabet keeps
-    the encode pass exact while pass 1 shrinks ~hist_sample x (the same
-    fast mode as :func:`read_compress_write_hf2`)."""
+def _weights_from_stream(fp: BinaryIO, size: int, block_size: int,
+                         hist_sample: int = 1) -> ByteWeights:
     bw = ByteWeights()
     samp = max(1, int(hist_sample))
     left = size
@@ -109,7 +102,20 @@ def huff_tree_from_stream(fp: BinaryIO, size: int, block_size: int,
         left -= len(chunk)
     if samp > 1 and size > 0:
         bw = ByteWeights(bw.counts + 1)
-    return HuffTree.from_weights(bw)
+    return bw
+
+
+def huff_tree_from_stream(fp: BinaryIO, size: int, block_size: int,
+                          hist_sample: int = 1) -> HuffTree:
+    """Pass 1: histogram the whole stream, build the file tree
+    (`huff/src/comp.rs:161-172`).
+
+    ``hist_sample > 1``: count only each chunk's first ``1/hist_sample``
+    bytes and Laplace-smooth (+1 every bin) — the complete alphabet keeps
+    the encode pass exact while pass 1 shrinks ~hist_sample x (the same
+    fast mode as :func:`read_compress_write_hf2`)."""
+    return HuffTree.from_weights(
+        _weights_from_stream(fp, size, block_size, hist_sample))
 
 
 def _encode_chunk(data: np.ndarray, lens_lut, codes_lut, nat) -> tuple[bytes, int]:
@@ -383,6 +389,7 @@ def read_compress_write(
     src_path: str, dst_path: str, block_size: int = DEFAULT_BLOCK,
     device: bool = False, timer=None, stats: dict | None = None,
     hist_sample: int = 1, tree: HuffTree | None = None,
+    max_code_len: int | None = None,
 ) -> None:
     """Compress ``src`` into ``dst`` as ``.hff`` (`huff/src/comp.rs:32-74`).
 
@@ -392,7 +399,11 @@ def read_compress_write(
 
     ``tree`` (r5, config 4): a pre-built shared tree skips pass 1 entirely
     — single-pass compress; the tree must cover every byte of the file
-    (see :func:`read_compress_write_hf2`).
+    (see :func:`read_compress_write_hf2`).  ``max_code_len``: optional
+    package-merge length limit (speed/ratio knob; with ``device`` the
+    device's 32-bit codeword cap applies automatically on pathological
+    deep trees, matching the ``.hf2`` writer — the container stays a
+    valid ``.hff``).
     """
     from ..profiling import StageTimer
 
@@ -402,8 +413,17 @@ def read_compress_write(
     with open(src_path, "rb") as src, open(dst_path, "wb") as dst:
         if tree is None:
             with timer.stage("histogram", size):
-                tree = huff_tree_from_stream(src, size, block_size,
-                                             hist_sample)
+                bw = _weights_from_stream(src, size, block_size,
+                                          hist_sample)
+            cap = max_code_len if max_code_len is not None else (
+                32 if device else None)
+            if cap is not None:
+                from ..core.canonical import build_tree_for_device
+
+                tree, _limited = build_tree_for_device(
+                    bw, max_len=min(cap, 32) if device else cap)
+            else:
+                tree = HuffTree.from_weights(bw)
         tree_bin = tree.as_bin()
         tree_padding = calc_padding_bits(len(tree_bin))
         tree_bytes = tree_bin.to_bytes()
