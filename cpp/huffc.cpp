@@ -28,6 +28,10 @@
 #include <thread>
 #include <vector>
 
+#ifdef HUFFC_USE_ZLIB
+#include <zlib.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -449,6 +453,19 @@ static bool g_crc_init = [] {
 }();
 
 uint32_t huffc_crc32(const uint8_t* data, uint64_t n, uint32_t seed) {
+#ifdef HUFFC_USE_ZLIB
+  // zlib's crc32 is SIMD-accelerated (~2x the slicing-by-8 below on this
+  // host: 3.4 vs 1.8 GB/s/core) and computes the identical checksum; the
+  // build links it when libz is present (tpuhuff/native/_build).
+  uLong c = seed;
+  const uint64_t kChunk = 1u << 30;  // zlib's len param is uInt
+  while (n > kChunk) {
+    c = crc32(c, data, (unsigned)kChunk);
+    data += kChunk;
+    n -= kChunk;
+  }
+  return (uint32_t)crc32(c, data, (unsigned)n);
+#else
   uint32_t c = ~seed;
   uint64_t i = 0;
   for (; i + 8 <= n; i += 8) {
@@ -463,6 +480,7 @@ uint32_t huffc_crc32(const uint8_t* data, uint64_t n, uint32_t seed) {
   }
   for (; i < n; ++i) c = g_crc_tab[0][(c ^ data[i]) & 0xFF] ^ (c >> 8);
   return ~c;
+#endif
 }
 
 // Per-span CRC32 of a contiguous buffer: out[k] = crc32(data[k*span ..

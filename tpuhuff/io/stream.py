@@ -922,7 +922,10 @@ def read_compress_write_hf2(
     ``check`` (r5, default on): write the per-span CRC32 integrity column
     (flags bit 1 — ``io.hff`` module docstring) so decoders detect payload
     corruption instead of emitting silently-wrong bytes like the reference
-    (`comp.rs:487-519`).  < 0.01% size and < 1% time overhead.
+    (`comp.rs:487-519`).  Measured cost (PERF_NOTES r5): < 0.01% size,
+    +0.3% write time; read-side verification ~5-7% on the 2-vCPU dev box
+    (work-conserved floor), hidden behind the decode by the verify
+    pipeline on >= 4-core hosts.
 
     ``tree`` (r5, config 4): a pre-built shared tree — pass 1 is SKIPPED
     entirely, making this a single-pass compress at the pure encode rate
@@ -1496,26 +1499,48 @@ def read_decompress_write_hf2(
             if verifier is not None:
                 verifier.finish()
         else:
-            for g0 in range(0, B, gsize):
-                buf, ls, le, nb, caps = read_group(g0)
-                offs = np.arange(nb, dtype=np.uint64) * hdr.block_len
-                try:
-                    out, out_lens = nat.decode_blocks(
-                        buf, ls, le, tables, offs, caps, threads
-                    )
-                except RuntimeError:
-                    # a corrupt payload can overflow a block's output slot
-                    # inside the native decoder; same typed error surface
-                    # as every other malformed-input path (r4 judge fuzz)
-                    raise StreamError(
-                        f"{src_path!r} stores invalid header information",
-                        "InvalidHeaderInfo",
-                    ) from None
-                if not np.array_equal(out_lens, caps):
-                    raise StreamError(
-                        f"{src_path!r} block decode length mismatch",
-                        "InvalidHeaderInfo",
-                    )
-                emit(out[: int(caps.sum())])
+            # CRC verification is pipelined one group deep: group k's
+            # spans verify on a worker thread (ctypes releases the GIL)
+            # while group k+1 decodes — on >= 4-core hosts the check hides
+            # entirely behind the decode; on the 2-vCPU dev box it costs
+            # its work-conserved ~10% (PERF_NOTES r5).  Each group's `out`
+            # is a fresh buffer, so the worker's view stays valid.
+            pool = pending_v = None
             if verifier is not None:
-                verifier.finish()
+                import concurrent.futures as _cf
+
+                pool = _cf.ThreadPoolExecutor(max_workers=1)
+            try:
+                for g0 in range(0, B, gsize):
+                    buf, ls, le, nb, caps = read_group(g0)
+                    offs = np.arange(nb, dtype=np.uint64) * hdr.block_len
+                    try:
+                        out, out_lens = nat.decode_blocks(
+                            buf, ls, le, tables, offs, caps, threads
+                        )
+                    except RuntimeError:
+                        # a corrupt payload can overflow a block's output
+                        # slot inside the native decoder; same typed error
+                        # surface as every other malformed-input path
+                        raise StreamError(
+                            f"{src_path!r} stores invalid header "
+                            f"information", "InvalidHeaderInfo",
+                        ) from None
+                    if not np.array_equal(out_lens, caps):
+                        raise StreamError(
+                            f"{src_path!r} block decode length mismatch",
+                            "InvalidHeaderInfo",
+                        )
+                    piece = out[: int(caps.sum())]
+                    dst.write(piece.tobytes())
+                    if pool is not None:
+                        if pending_v is not None:
+                            pending_v.result()  # surfaces CorruptData
+                        pending_v = pool.submit(verifier.feed, piece)
+                if pending_v is not None:
+                    pending_v.result()
+                if verifier is not None:
+                    verifier.finish()
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)

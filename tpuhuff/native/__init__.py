@@ -65,11 +65,21 @@ def _build() -> bool:
     src = os.path.join(_CPP_DIR, "huffc.cpp")
     if not os.path.exists(src):
         return False
-    for extra in ("-march=native", ""):
+    # prefer linking zlib (its SIMD crc32 is ~2x our slicing-by-8); fall
+    # back to the self-contained build when libz/headers are absent
+    variants = [
+        ("-march=native", True), ("-march=native", False),
+        ("", True), ("", False),
+    ]
+    for arch, use_z in variants:
         cmd = ["g++", "-O3", "-fPIC", "-shared", "-pthread", "-funroll-loops"]
-        if extra:
-            cmd.append(extra)
+        if arch:
+            cmd.append(arch)
+        if use_z:
+            cmd.append("-DHUFFC_USE_ZLIB")
         cmd += ["-o", _LIB_PATH, src]
+        if use_z:
+            cmd.append("-lz")
         try:
             r = subprocess.run(cmd, capture_output=True, timeout=120)
             if r.returncode == 0:
