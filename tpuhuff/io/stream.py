@@ -437,24 +437,49 @@ def read_compress_write(
         sink = _BitSink(dst)
         left = size
         step = min(block_size, _CHUNK)
-        while left > 0:
-            chunk = src.read(min(step, left))
-            if not chunk:
-                break
-            data = np.frombuffer(chunk, dtype=np.uint8)
-            with timer.stage("pack", len(chunk)):
-                if enc is not None:
+        if enc is None:
+            # host pipeline (r5, same shape as the .hf2 writer): chunk k
+            # encodes on a worker (threaded C++ releases the GIL) while
+            # the main thread writes k-1 and reads k+1
+            import concurrent.futures as _cf
+
+            with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+                pending = None
+                while True:
+                    fut = None
+                    if left > 0:
+                        chunk = src.read(min(step, left))
+                        if chunk:
+                            left -= len(chunk)
+                            fut = ex.submit(
+                                _encode_chunk,
+                                np.frombuffer(chunk, dtype=np.uint8),
+                                lens_lut, codes_lut, nat)
+                        else:
+                            left = 0
+                    if pending is not None:
+                        payload, nbits = pending.result()
+                        with timer.stage("write", (nbits + 7) // 8):
+                            sink.write(payload, nbits)
+                    pending = fut
+                    if pending is None and left <= 0:
+                        break
+        else:
+            while left > 0:
+                chunk = src.read(min(step, left))
+                if not chunk:
+                    break
+                data = np.frombuffer(chunk, dtype=np.uint8)
+                with timer.stage("pack", len(chunk)):
                     # multi-chunk streams pad the ragged tail to the full
                     # chunk shape so it reuses the body's compile
                     t0 = _now()
                     payload, nbits = enc(
                         data, pad_to_bytes=step if size > step else None)
                     _record_call(stats, _now() - t0)
-                else:
-                    payload, nbits = _encode_chunk(data, lens_lut, codes_lut, nat)
-            with timer.stage("write", (nbits + 7) // 8):
-                sink.write(payload, nbits)
-            left -= len(chunk)
+                with timer.stage("write", (nbits + 7) // 8):
+                    sink.write(payload, nbits)
+                left -= len(chunk)
         data_padding = sink.flush()
         # patch the padding byte (comp.rs:69-70)
         dst.seek(0)
@@ -1098,28 +1123,53 @@ def read_compress_write_hf2(
                 if pending is None and left <= 0:
                     break
         else:
-            while left > 0:
-                piece = src.read(min(step, left))
-                if not piece:
-                    break
+            # host pipeline (r5): chunk k encodes (+CRCs/+hist) on a worker
+            # thread — the threaded C++ calls release the GIL — while the
+            # main thread writes chunk k-1's payload and reads chunk k+1;
+            # single worker keeps table/sink writes chunk-ordered
+            import concurrent.futures as _cf
+
+            def encode_job(piece: bytes):
                 data = np.frombuffer(piece, dtype=np.uint8)
-                left -= data.size
-                nb = -(-data.size // block_len)
                 payload, nbits, bit_lens = _encode_block_group(
                     data, block_len, lens_lut, codes_lut, nat
                 )
+                crcs = (_crc_spans(data, span_bytes, nat)
+                        if crc_every else None)
+                hist = None
                 if collect_hist:
-                    # threaded C++ count (or numpy bincount) — rides the
-                    # same pass over the already-loaded chunk
-                    hist_acc += (nat.hist(data) if nat is not None
-                                 else np.bincount(data, minlength=256)
-                                 .astype(np.int64))
-                write_hf2_table_slice(dst, table_off, width, bidx, bit_lens)
-                if crc_every:
-                    write_hf2_crc_slice(dst, crc_off, bidx // crc_every,
-                                        _crc_spans(data, span_bytes, nat))
-                sink.write(payload, nbits)
-                bidx += nb
+                    hist = (nat.hist(data) if nat is not None
+                            else np.bincount(data, minlength=256)
+                            .astype(np.int64))
+                nb = -(-data.size // block_len)
+                return payload, nbits, bit_lens, crcs, hist, nb
+
+            with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+                pending = None
+                while True:
+                    fut = None
+                    if left > 0:
+                        piece = src.read(min(step, left))
+                        if piece:
+                            left -= len(piece)
+                            fut = ex.submit(encode_job, piece)
+                        else:
+                            left = 0
+                    if pending is not None:
+                        payload, nbits, bit_lens, crcs, hist, nb = (
+                            pending.result())
+                        if hist is not None:
+                            hist_acc += hist
+                        write_hf2_table_slice(dst, table_off, width, bidx,
+                                              bit_lens)
+                        if crcs is not None:
+                            write_hf2_crc_slice(dst, crc_off,
+                                                bidx // crc_every, crcs)
+                        sink.write(payload, nbits)
+                        bidx += nb
+                    pending = fut
+                    if pending is None and left <= 0:
+                        break
         sink.flush()
         return hist_acc
 
