@@ -112,6 +112,76 @@ static uint64_t encode_range(const uint8_t* data, uint64_t n,
   return total;
 }
 
+// Two interleaved encode_range streams: each block's left-aligned
+// 128-bit accumulator is a serial dependency chain (~4-5 cycles/byte);
+// two independent chains overlap for ~1.5x per core.  Semantics and
+// output bits identical to encode_range run on each block separately.
+static void encode_two(const uint8_t* d0, uint64_t n0, uint8_t* o0,
+                       const uint8_t* d1, uint64_t n1, uint8_t* o1,
+                       const uint8_t* len_lut, const uint64_t* code_lut) {
+  unsigned __int128 acc0 = 0, acc1 = 0;
+  int nb0 = 0, nb1 = 0;
+  uint8_t* p0 = o0;
+  uint8_t* p1 = o1;
+  uint64_t m = n0 < n1 ? n0 : n1;
+  for (uint64_t i = 0; i < m; ++i) {
+    uint8_t b0 = d0[i];
+    int l0 = len_lut[b0];
+    acc0 |= ((unsigned __int128)code_lut[b0]) << (128 - nb0 - l0);
+    nb0 += l0;
+    if (nb0 >= 64) {
+      store_be64(p0, (uint64_t)(acc0 >> 64));
+      p0 += 8;
+      acc0 <<= 64;
+      nb0 -= 64;
+    }
+    uint8_t b1 = d1[i];
+    int l1 = len_lut[b1];
+    acc1 |= ((unsigned __int128)code_lut[b1]) << (128 - nb1 - l1);
+    nb1 += l1;
+    if (nb1 >= 64) {
+      store_be64(p1, (uint64_t)(acc1 >> 64));
+      p1 += 8;
+      acc1 <<= 64;
+      nb1 -= 64;
+    }
+  }
+  for (uint64_t i = m; i < n0; ++i) {
+    uint8_t b = d0[i];
+    int l = len_lut[b];
+    acc0 |= ((unsigned __int128)code_lut[b]) << (128 - nb0 - l);
+    nb0 += l;
+    if (nb0 >= 64) {
+      store_be64(p0, (uint64_t)(acc0 >> 64));
+      p0 += 8;
+      acc0 <<= 64;
+      nb0 -= 64;
+    }
+  }
+  for (uint64_t i = m; i < n1; ++i) {
+    uint8_t b = d1[i];
+    int l = len_lut[b];
+    acc1 |= ((unsigned __int128)code_lut[b]) << (128 - nb1 - l);
+    nb1 += l;
+    if (nb1 >= 64) {
+      store_be64(p1, (uint64_t)(acc1 >> 64));
+      p1 += 8;
+      acc1 <<= 64;
+      nb1 -= 64;
+    }
+  }
+  while (nb0 > 0) {
+    *p0++ = (uint8_t)(acc0 >> 120);
+    acc0 <<= 8;
+    nb0 -= 8;
+  }
+  while (nb1 > 0) {
+    *p1++ = (uint8_t)(acc1 >> 120);
+    acc1 <<= 8;
+    nb1 -= 8;
+  }
+}
+
 // OR-copy `src` (src_bits long, starting at bit 0) into `dst` at bit offset
 // `dst_bit`.  dst bytes beyond the first touched byte must be zero.
 static void or_shift_copy(const uint8_t* src, uint64_t src_bits, uint8_t* dst,
@@ -187,9 +257,16 @@ int64_t huffc_encode(const uint8_t* data, uint64_t n, const uint8_t* len_lut,
   for (int k = 0; k < t; ++k)
     threads.emplace_back([&, k] {
       uint64_t len = chunk_hi[k] - chunk_lo[k];
-      uint64_t bits = 0;
-      for (uint64_t i = chunk_lo[k]; i < chunk_hi[k]; ++i)
-        bits += len_lut[data[i]];
+      uint64_t s0 = 0, s1 = 0, s2 = 0, s3 = 0;
+      uint64_t i = chunk_lo[k];
+      for (; i + 4 <= chunk_hi[k]; i += 4) {
+        s0 += len_lut[data[i]];
+        s1 += len_lut[data[i + 1]];
+        s2 += len_lut[data[i + 2]];
+        s3 += len_lut[data[i + 3]];
+      }
+      uint64_t bits = s0 + s1 + s2 + s3;
+      for (; i < chunk_hi[k]; ++i) bits += len_lut[data[i]];
       bufs[k].assign(bits / 8 + 16, 0);
       encode_range(data + chunk_lo[k], len, len_lut, code_lut, bufs[k].data());
       chunk_bits[k] = bits;
@@ -874,8 +951,18 @@ int64_t huffc_encode_blocks(const uint8_t* data, uint64_t n,
         for (int64_t k = lo; k < hi; ++k) {
           uint64_t a = (uint64_t)k * block_len;
           uint64_t b2 = std::min<uint64_t>(a + block_len, n);
-          uint64_t bits = 0;
-          for (uint64_t i = a; i < b2; ++i) bits += len_lut[data[i]];
+          // 4 accumulators hide the L1 len_lut load latency (the single
+          // dependent add chain ran at ~4-5 cycles/byte)
+          uint64_t s0 = 0, s1 = 0, s2 = 0, s3 = 0;
+          uint64_t i = a;
+          for (; i + 4 <= b2; i += 4) {
+            s0 += len_lut[data[i]];
+            s1 += len_lut[data[i + 1]];
+            s2 += len_lut[data[i + 2]];
+            s3 += len_lut[data[i + 3]];
+          }
+          uint64_t bits = s0 + s1 + s2 + s3;
+          for (; i < b2; ++i) bits += len_lut[data[i]];
           bit_lens[k] = bits;
         }
       });
@@ -895,14 +982,31 @@ int64_t huffc_encode_blocks(const uint8_t* data, uint64_t n,
       int64_t lo = (int64_t)w * per, hi = std::min<int64_t>(lo + per, nb);
       if (lo >= hi) continue;
       threads.emplace_back([=] {
-        std::vector<uint8_t> scratch(row_bytes, 0);
-        for (int64_t k = lo + (t > 1 ? 1 : 0); k < hi; ++k) {
-          if (!bit_lens[k]) continue;
-          uint64_t a = (uint64_t)k * block_len;
-          uint64_t b2 = std::min<uint64_t>(a + block_len, n);
-          encode_range(data + a, b2 - a, len_lut, code_lut, scratch.data());
-          or_shift_copy(scratch.data(), bit_lens[k], out, offs[k]);
-          std::memset(scratch.data(), 0, (bit_lens[k] + 7) / 8 + 8);
+        std::vector<uint8_t> sc0(row_bytes, 0), sc1(row_bytes, 0);
+        int64_t k = lo + (t > 1 ? 1 : 0);
+        while (k < hi) {
+          while (k < hi && !bit_lens[k]) ++k;
+          if (k >= hi) break;
+          int64_t k2 = k + 1;
+          while (k2 < hi && !bit_lens[k2]) ++k2;
+          uint64_t a0 = (uint64_t)k * block_len;
+          uint64_t e0 = std::min<uint64_t>(a0 + block_len, n);
+          if (k2 < hi) {
+            uint64_t a1 = (uint64_t)k2 * block_len;
+            uint64_t e1 = std::min<uint64_t>(a1 + block_len, n);
+            encode_two(data + a0, e0 - a0, sc0.data(), data + a1, e1 - a1,
+                       sc1.data(), len_lut, code_lut);
+            or_shift_copy(sc0.data(), bit_lens[k], out, offs[k]);
+            or_shift_copy(sc1.data(), bit_lens[k2], out, offs[k2]);
+            std::memset(sc0.data(), 0, (bit_lens[k] + 7) / 8 + 8);
+            std::memset(sc1.data(), 0, (bit_lens[k2] + 7) / 8 + 8);
+            k = k2 + 1;
+          } else {
+            encode_range(data + a0, e0 - a0, len_lut, code_lut, sc0.data());
+            or_shift_copy(sc0.data(), bit_lens[k], out, offs[k]);
+            std::memset(sc0.data(), 0, (bit_lens[k] + 7) / 8 + 8);
+            k = k2;
+          }
         }
       });
     }
