@@ -184,3 +184,14 @@ def test_cli_tree_from_single_file(tmp_path):
     out = dst + ".dec"
     read_decompress_write_hf2(dst, out)
     assert open(out, "rb").read() == open(srcs[1], "rb").read()
+
+
+def test_decompress_dataset_roundtrip(tmp_path):
+    from tpuhuff.io.dataset import decompress_dataset
+
+    srcs = _mk_shards(tmp_path, n=3)
+    outs = compress_dataset(srcs, out_dir=str(tmp_path / "c"))
+    decs = decompress_dataset(outs, out_dir=str(tmp_path / "d"))
+    for src, dec in zip(srcs, decs):
+        assert os.path.basename(dec) == os.path.basename(src)
+        assert open(dec, "rb").read() == open(src, "rb").read()

@@ -1,7 +1,8 @@
 """Streaming file IO: .hff (reference-compatible) and .hf2 (block-indexed),
 plus shared-tree dataset compression (config 4)."""
 
-from .dataset import build_shared_tree, compress_dataset, tree_from_counts
+from .dataset import (build_shared_tree, compress_dataset,
+                      decompress_dataset, tree_from_counts)
 from .hff import Hf2Header, read_hf2_header, write_hf2
 from .stream import (
     StreamError,
@@ -28,5 +29,6 @@ __all__ = [
     "decode_hff_indexed",
     "build_shared_tree",
     "compress_dataset",
+    "decompress_dataset",
     "tree_from_counts",
 ]

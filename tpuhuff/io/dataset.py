@@ -185,3 +185,43 @@ def compress_dataset(
         stats["bytes"] = total_in
         stats["ratio"] = total_out / max(total_in, 1)
     return outs
+
+
+def decompress_dataset(
+    srcs: Iterable[str],
+    out_dir: str | None = None,
+    dsts: Sequence[str] | None = None,
+    device: bool = False,
+    threads: int | None = None,
+    check: bool = True,
+) -> list:
+    """Decode a dataset's shards (the inverse of :func:`compress_dataset`).
+
+    Each shard is independent — every container carries its own tree and
+    block index — so this is a plain ordered map of the per-file decoder;
+    across processes, shard-parallelism is just "each process takes its
+    slice of the list" (no collective state).  Output names strip the
+    container extension (``x.bin.hf2 -> x.bin``)."""
+    from .stream import read_decompress_write, read_decompress_write_hf2
+
+    srcs = [os.fspath(s) for s in srcs]
+    if dsts is None:
+        base = out_dir if out_dir is not None else "."
+        os.makedirs(base, exist_ok=True)
+        dsts = []
+        for s in srcs:
+            name = os.path.basename(s)
+            root, ext = os.path.splitext(name)
+            dsts.append(os.path.join(base,
+                                     root if ext in (".hf2", ".hff")
+                                     else name + ".dec"))
+    elif len(list(dsts)) != len(srcs):
+        raise ValueError(
+            f"dsts has {len(list(dsts))} entries for {len(srcs)} sources")
+    for src, dst in zip(srcs, dsts):
+        if src.endswith(".hff"):
+            read_decompress_write(src, dst)
+        else:
+            read_decompress_write_hf2(src, dst, threads=threads,
+                                      device=device, check=check)
+    return list(dsts)
