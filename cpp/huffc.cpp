@@ -22,6 +22,7 @@
 // bit order is MSB-first within bytes, matching BitVec<Msb0,u8>.
 
 #include <algorithm>
+#include <cstdio>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -863,6 +864,445 @@ int64_t huffc_decode_blocks(
   return f >= 0 ? -(f + 1) : 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// Speculative parallel indexer (DFA self-synchronization, "chunk resync")
+// ---------------------------------------------------------------------------
+// A foreign .hff carries no block index, forcing a serial parse.  But a
+// byte-driven Huffman DFA self-synchronizes: start parsing ANYWHERE with
+// any state and the parse almost always merges with the true parse within
+// a few dozen bytes.  So T threads parse byte-aligned chunks
+// speculatively from the root state, each recording (state, letters) at
+// its first `W` byte boundaries plus a bit-offset "stride" record every
+// `kStride` letters after that; a cheap serial reconciliation then walks
+// only the seam windows to find where each speculative parse joins the
+// true one, fixes up absolute letter counts, and block boundaries are
+// resolved from the stride records with <= kStride-letter re-walks.
+// Where a seam fails to converge (adversarial tree), that chunk is
+// re-walked serially — graceful degradation, never wrong output.
+//
+// This fulfils the round-1 design note (SURVEY §7 "speculative
+// chunk-resync") and makes the FIRST decode of an unindexed container
+// scale with cores; steady-state decodes use the sidecar index as before.
+
+}  // extern "C" — the speculative-indexer helpers use templates/C++
+// containers and live with C++ linkage; the entry point reopens extern "C"
+
+static const int kSpecWindow = 4096;   // seam search window (bytes)
+static const uint64_t kStride = 4096;  // letters between anchor records
+
+struct SpecChunk {
+  uint64_t begin_bit = 0, end_bit = 0;  // byte-aligned walk span
+  std::vector<int16_t> win_state;       // state at begin+8*j, j in [0, W)
+  std::vector<uint32_t> win_letters;    // letters emitted before that byte
+  // anchors: a byte boundary shortly after every kStride-th letter —
+  // (absolute bit of the boundary, chunk-local letters before it, state)
+  std::vector<uint64_t> anchor_bit;
+  std::vector<uint64_t> anchor_letters;
+  std::vector<int16_t> anchor_state;
+  uint64_t letters = 0;          // letters in the speculative parse
+  uint64_t last_emit_end = 0;    // bit just past the last emitted code
+  int16_t end_state = 0;
+  // reconciliation results:
+  uint64_t abs_before = 0;       // TRUE absolute letters before begin_bit
+  uint64_t true_prefix = 0;      // true letters in [begin, splice byte)
+  uint64_t splice_bit = 0;       // byte-aligned bit where parses merge
+  uint64_t spec_at_splice = 0;   // chunk-local letters at the splice byte
+  bool serial = false;           // seam failed: chunk re-walked serially
+};
+
+// Byte-driven walk of a chunk's [begin_bit, end_bit) (byte-aligned),
+// from state `st0` — speculative when st0 is a guess.  Records the seam
+// window and the anchor list.
+static void spec_walk(const uint8_t* comp, SpecChunk* c,
+                      const int16_t* next_state, const uint8_t* emit_count,
+                      const uint8_t* last_emit_bit, int16_t st0) {
+  uint64_t bit = c->begin_bit;
+  int16_t state = st0;
+  uint64_t letters = 0;
+  uint64_t last_end = c->begin_bit;
+  uint64_t n_full = (c->end_bit - bit) >> 3;
+  const uint8_t* cp = comp + (bit >> 3);
+  uint64_t W = std::min<uint64_t>(kSpecWindow, n_full);
+  c->win_state.resize((size_t)W);
+  c->win_letters.resize((size_t)W);
+  uint64_t next_anchor = kStride;
+  for (uint64_t j = 0; j < n_full; ++j) {
+    if (j < W) {
+      c->win_state[(size_t)j] = state;
+      c->win_letters[(size_t)j] = (uint32_t)letters;
+    }
+    if (letters >= next_anchor) {
+      c->anchor_bit.push_back(bit + j * 8);
+      c->anchor_letters.push_back(letters);
+      c->anchor_state.push_back(state);
+      next_anchor = (letters / kStride + 1) * kStride;
+    }
+    uint64_t idx = (uint64_t)state * 256 + cp[j];
+    unsigned e = emit_count[idx];
+    if (e) {
+      letters += e;
+      last_end = bit + j * 8 + last_emit_bit[idx] + 1;
+    }
+    state = next_state[idx];
+  }
+  c->letters = letters;
+  c->last_emit_end = last_end;
+  c->end_state = state;
+}
+
+// Per-bit tree walk over [bit, stop) from `node`, invoking fn(end_bit)
+// for every emitted letter.  Returns the final node.
+template <typename Fn>
+static int32_t walk_bits_fn(const uint8_t* comp, uint64_t bit, uint64_t stop,
+                            const int32_t* left, const int32_t* right,
+                            int32_t node, int32_t root, Fn&& fn) {
+  for (; bit < stop; ++bit) {
+    int b = (comp[bit >> 3] >> (7 - (bit & 7))) & 1;
+    node = b ? right[node] : left[node];
+    if (left[node] < 0) {
+      fn(bit + 1);
+      node = root;
+    }
+  }
+  return node;
+}
+
+extern "C" {
+
+// Parallel speculative indexer — same contract as huffc_index_blocks
+// plus `num_threads`.  Returns the boundary count, -1 on `max_bounds`
+// overflow, or -3 when the input shape wants the serial path (degenerate
+// single-leaf tree, or a region too small to split).
+int64_t huffc_spec_index(const uint8_t* comp, uint64_t start_bit,
+                         uint64_t end_bit, const int16_t* next_state,
+                         const uint8_t* emit_count,
+                         const uint8_t* last_emit_bit, const int32_t* left,
+                         const int32_t* right, const int16_t* state_of_node,
+                         const int32_t* node_of_state, int32_t root,
+                         uint64_t block_len, uint64_t* boundaries,
+                         int64_t max_bounds, uint64_t* inout_in_block,
+                         uint64_t* resume_bit, int num_threads) {
+  if (block_len == 0 || left[root] < 0) return -3;
+  int T = num_threads > 1 ? num_threads : 1;
+  uint64_t first_full = (start_bit + 7) & ~7ull;
+  if (first_full > end_bit) first_full = end_bit;
+  uint64_t last_full = end_bit & ~7ull;
+  if (last_full < first_full) last_full = first_full;
+  uint64_t full_bytes = (last_full - first_full) >> 3;
+  if (T == 1 || full_bytes < (uint64_t)T * (256 << 10)) return -3;
+
+  const uint64_t carried = inout_in_block ? *inout_in_block : 0;
+  // m-th boundary (1-based) sits after absolute letter m*block_len-carried
+  auto bound_slot = [&](uint64_t abs_letters) -> int64_t {
+    // number of boundaries at absolute letter counts <= abs_letters
+    return (int64_t)((carried + abs_letters) / block_len -
+                     carried / block_len);
+  };
+
+  // prologue: per-bit walk to the first byte boundary (true parse)
+  uint64_t abs_letters = 0;
+  uint64_t glob_last_end = start_bit;
+  int64_t nb_total = 0;
+  bool overflow = false;
+  auto emit_boundary_checked = [&](uint64_t endb) {
+    ++abs_letters;
+    glob_last_end = endb;
+    if ((carried + abs_letters) % block_len == 0) {
+      int64_t slot = bound_slot(abs_letters) - 1;
+      if (slot >= max_bounds) {
+        overflow = true;
+        return;
+      }
+      boundaries[slot] = endb;
+      if (slot + 1 > nb_total) nb_total = slot + 1;
+    }
+  };
+  int32_t node = walk_bits_fn(comp, start_bit, first_full, left, right,
+                              root, root, emit_boundary_checked);
+  if (overflow) return -1;
+
+  // phase 1: parallel speculative chunk walks
+  std::vector<SpecChunk> chunks((size_t)T);
+  uint64_t per = full_bytes / T;
+  for (int t = 0; t < T; ++t) {
+    chunks[t].begin_bit = first_full + (uint64_t)t * per * 8;
+    chunks[t].end_bit = (t == T - 1) ? last_full
+                                     : first_full + (uint64_t)(t + 1) * per * 8;
+  }
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; ++t) {
+      int16_t st0 = (t == 0) ? state_of_node[node] : state_of_node[root];
+      threads.emplace_back([&, t, st0] {
+        spec_walk(comp, &chunks[t], next_state, emit_count, last_emit_bit,
+                  st0);
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+
+  // phase 2: serial seam reconciliation (windows only; full re-walk on a
+  // failed seam).  Tracks true absolute letters through the chain.
+  chunks[0].abs_before = abs_letters;
+  chunks[0].splice_bit = chunks[0].begin_bit;
+  chunks[0].spec_at_splice = 0;
+  chunks[0].true_prefix = 0;
+  int16_t true_state = 0;  // true DFA state at the NEXT chunk's begin
+  {
+    uint64_t a = abs_letters + chunks[0].letters;
+    true_state = chunks[0].end_state;  // chunk 0 walked from truth
+    uint64_t prev_last_end =
+        chunks[0].letters ? chunks[0].last_emit_end : glob_last_end;
+    for (int t = 1; t < T; ++t) {
+      SpecChunk& c = chunks[t];
+      c.abs_before = a;
+      // walk the seam window from the true state, comparing per byte;
+      // any block boundaries inside the (true) prefix are placed on the
+      // spot (absolute letter counts are known here)
+      uint64_t W = c.win_state.size();
+      int16_t s = true_state;
+      uint64_t letters_prefix = 0;
+      uint64_t last_end_prefix = 0;
+      int64_t splice = -1;
+      const uint8_t* cp = comp + (c.begin_bit >> 3);
+      for (uint64_t j = 0; j < W; ++j) {
+        if (s == c.win_state[(size_t)j]) {
+          splice = (int64_t)j;
+          break;
+        }
+        uint64_t idx = (uint64_t)s * 256 + cp[j];
+        unsigned e = emit_count[idx];
+        if (e) {
+          uint64_t before = a + letters_prefix;
+          uint64_t after = before + e;
+          if ((carried + before) / block_len !=
+              (carried + after) / block_len) {
+            int32_t nd = node_of_state[s];
+            uint64_t bb = c.begin_bit + j * 8;
+            uint64_t cnt = before;
+            walk_bits_fn(comp, bb, bb + 8, left, right, nd, root,
+                         [&](uint64_t endb) {
+                           ++cnt;
+                           if ((carried + cnt) % block_len == 0) {
+                             int64_t slot = bound_slot(cnt) - 1;
+                             if (slot >= max_bounds)
+                               overflow = true;
+                             else {
+                               boundaries[slot] = endb;
+                               if (slot + 1 > nb_total) nb_total = slot + 1;
+                             }
+                           }
+                         });
+          }
+          letters_prefix += e;
+          last_end_prefix = c.begin_bit + j * 8 + last_emit_bit[idx] + 1;
+        }
+        s = next_state[idx];
+      }
+      if (overflow) return -1;
+      if (splice < 0) {
+        // adversarial tree: no coalescence — true-walk the whole chunk
+        // serially, resolving its boundaries right here (it is excluded
+        // from phase 3)
+        c.serial = true;
+        uint64_t letters2 = 0;
+        uint64_t last_end2 = 0;
+        int16_t s2 = true_state;
+        uint64_t nf = (c.end_bit - c.begin_bit) >> 3;
+        for (uint64_t j = 0; j < nf; ++j) {
+          uint64_t idx = (uint64_t)s2 * 256 + cp[j];
+          unsigned e = emit_count[idx];
+          if (e) {
+            uint64_t before = a + letters2;
+            uint64_t after = before + e;
+            if ((carried + before) / block_len !=
+                (carried + after) / block_len) {
+              int32_t nd = node_of_state[s2];
+              uint64_t bb = c.begin_bit + j * 8;
+              uint64_t cnt = before;
+              walk_bits_fn(comp, bb, bb + 8, left, right, nd, root,
+                           [&](uint64_t endb) {
+                             ++cnt;
+                             if ((carried + cnt) % block_len == 0) {
+                               int64_t slot = bound_slot(cnt) - 1;
+                               if (slot >= max_bounds)
+                                 overflow = true;
+                               else {
+                                 boundaries[slot] = endb;
+                                 if (slot + 1 > nb_total)
+                                   nb_total = slot + 1;
+                               }
+                             }
+                           });
+            }
+            letters2 += e;
+            last_end2 = c.begin_bit + j * 8 + last_emit_bit[idx] + 1;
+          }
+          s2 = next_state[idx];
+        }
+        if (overflow) return -1;
+        c.letters = letters2;
+        c.last_emit_end = last_end2 ? last_end2 : prev_last_end;
+        c.end_state = s2;
+        a += letters2;
+        true_state = s2;
+        prev_last_end = c.last_emit_end;
+        continue;
+      }
+      // prefix [begin, splice byte) boundaries were placed in the seam
+      // walk above (true parse with absolute counts)
+      c.true_prefix = letters_prefix;
+      c.spec_at_splice = c.win_letters[(size_t)splice];
+      c.splice_bit = c.begin_bit + (uint64_t)splice * 8;
+      uint64_t after_splice = c.letters - c.spec_at_splice;
+      a += letters_prefix + after_splice;
+      true_state = c.end_state;  // coalesced => spec end state is true
+      if (after_splice)
+        prev_last_end = c.last_emit_end;
+      else if (letters_prefix)
+        prev_last_end = last_end_prefix;
+      continue;
+    }
+    abs_letters = a;
+    glob_last_end = prev_last_end;
+    node = node_of_state[true_state];
+  }
+
+  // phase 3: parallel boundary resolution inside each chunk's spliced
+  // region via the anchor lists
+  {
+    std::atomic<bool> ovf(false);
+    std::atomic<int64_t> max_slot(nb_total);
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; ++t) {
+      threads.emplace_back([&, t] {
+        const SpecChunk& c = chunks[t];
+        if (c.serial) return;  // boundaries already placed in phase 2
+        // absolute letters at the splice point
+        uint64_t A = c.abs_before + c.true_prefix;
+        uint64_t A_end = A + (c.letters - c.spec_at_splice);
+        // boundaries with absolute letter count in (A, A_end]
+        uint64_t m_lo = (carried + A) / block_len + 1;
+        uint64_t m_hi = (carried + A_end) / block_len;
+        for (uint64_t m = m_lo; m <= m_hi; ++m) {
+          uint64_t abs_target = m * block_len - carried;
+          // chunk-local spec letter index of the target
+          uint64_t loc = abs_target - A + c.spec_at_splice;
+          // start from the best anchor at or before `loc` (or the splice;
+          // anchors before the splice describe the WRONG parse and are
+          // rejected by the bit/letters guards)
+          uint64_t from_bit = c.splice_bit;
+          uint64_t from_letters = c.spec_at_splice;
+          int16_t from_state =
+              c.win_state[(size_t)((c.splice_bit - c.begin_bit) >> 3)];
+          if (!c.anchor_letters.empty()) {
+            // last anchor with letters STRICTLY below the target: an
+            // anchor at letters == loc is already past the target
+            // letter's end (its bit offset is unrecoverable from there)
+            size_t lo = 0, hi = c.anchor_letters.size();
+            while (lo < hi) {
+              size_t mid = (lo + hi) / 2;
+              if (c.anchor_letters[mid] < loc)
+                lo = mid + 1;
+              else
+                hi = mid;
+            }
+            if (lo > 0) {
+              size_t k = lo - 1;
+              if (c.anchor_bit[k] >= c.splice_bit &&
+                  c.anchor_letters[k] >= c.spec_at_splice &&
+                  c.anchor_letters[k] >= from_letters) {
+                from_bit = c.anchor_bit[k];
+                from_letters = c.anchor_letters[k];
+                from_state = c.anchor_state[k];
+              }
+            }
+          }
+          // byte-walk from the anchor until the target letter's byte
+          int16_t s = from_state;
+          uint64_t l = from_letters;
+          const uint8_t* cp2 = comp + (from_bit >> 3);
+          uint64_t j = 0;
+          uint64_t found = 0;
+          while (from_bit + j * 8 < c.end_bit) {
+            uint64_t idx = (uint64_t)s * 256 + cp2[j];
+            unsigned e = emit_count[idx];
+            if (e && l + e >= loc) {
+              // the target letter ends inside this byte: per-bit finish
+              int32_t nd = node_of_state[s];
+              uint64_t bb = from_bit + j * 8;
+              uint64_t cnt = l;
+              walk_bits_fn(comp, bb, bb + 8, left, right, nd, root,
+                           [&](uint64_t endb) {
+                             if (++cnt == loc && !found) found = endb;
+                           });
+              break;
+            }
+            l += e;
+            s = next_state[idx];
+            ++j;
+          }
+          if (!found) {
+#ifdef HUFFC_SPEC_DEBUG
+            fprintf(stderr,
+                    "specdbg t=%d m=%llu loc=%llu A=%llu Aend=%llu "
+                    "from_letters=%llu from_bit=%llu splice_bit=%llu "
+                    "spec_at_splice=%llu letters=%llu l=%llu j=%llu\n",
+                    t, (unsigned long long)m, (unsigned long long)loc,
+                    (unsigned long long)A, (unsigned long long)A_end,
+                    (unsigned long long)from_letters,
+                    (unsigned long long)from_bit,
+                    (unsigned long long)c.splice_bit,
+                    (unsigned long long)c.spec_at_splice,
+                    (unsigned long long)c.letters, (unsigned long long)l,
+                    (unsigned long long)j);
+#endif
+            ovf.store(true);  // unreachable by construction; fail safe
+            return;
+          }
+          int64_t slot = (int64_t)(m - carried / block_len) - 1;
+          if (slot >= max_bounds) {
+            ovf.store(true);
+            return;
+          }
+          boundaries[slot] = found;
+          int64_t want = slot + 1;
+          int64_t cur = max_slot.load();
+          while (cur < want && !max_slot.compare_exchange_weak(cur, want)) {
+          }
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+    if (ovf.load()) return -1;
+    nb_total = max_slot.load();
+  }
+
+  // tail: per-bit walk of the final partial byte from the true state
+  {
+    uint64_t cnt = abs_letters;
+    node = walk_bits_fn(comp, last_full, end_bit, left, right, node, root,
+                        [&](uint64_t endb) {
+                          ++cnt;
+                          glob_last_end = endb;
+                          if ((carried + cnt) % block_len == 0) {
+                            int64_t slot = bound_slot(cnt) - 1;
+                            if (slot >= max_bounds)
+                              overflow = true;
+                            else {
+                              boundaries[slot] = endb;
+                              if (slot + 1 > nb_total) nb_total = slot + 1;
+                            }
+                          }
+                        });
+    if (overflow) return -1;
+    abs_letters = cnt;
+  }
+  if (resume_bit) *resume_bit = glob_last_end;
+  if (inout_in_block) *inout_in_block = (carried + abs_letters) % block_len;
+  return nb_total;
+}
 
 // Gather per-block u32 word rows from a packed payload: row k =
 // words[starts_w[k] .. starts_w[k]+row_words).  Feeds the TPU decode

@@ -1219,21 +1219,98 @@ def _write_hf2_from_hff(
             left -= len(piece)
 
 
+def _hff_walk_parallel(
+    src: BinaryIO, src_path: str, tree: HuffTree, total_bits: int,
+    block_len: int, chunk: int, nat, on_output,
+) -> tuple[np.ndarray, int]:
+    """PARALLEL index+decode of a ``.hff`` payload, windowed.
+
+    Per window: ``spec_index`` (multi-threaded DFA self-synchronization)
+    finds the block boundaries, then the 4-way interleaved threaded block
+    decoder materializes the bytes — ``on_output(np_u8)`` receives them in
+    order.  Windows resume at the last boundary (the partial trailing
+    block re-walks next window, <= one block of duplicated work per
+    window).  Returns ``(boundaries_abs_bits, tail_letters)``.
+
+    Raises RuntimeError (not StreamError) when the input shape defeats
+    the parallel plan — callers fall back to the serial fused walk.
+    """
+    tables = nat.build_dfa(tree)
+    bounds_parts = []
+    pos_bit = 0
+    tail_letters = 0
+    window = b""
+    win_byte = 0
+    while pos_bit < total_bits:
+        drop = pos_bit // 8 - win_byte
+        if drop > 0:
+            window = window[drop:]
+            win_byte += drop
+        want_end = min(win_byte + len(window) + chunk,
+                       (total_bits + 7) // 8)
+        need = want_end - (win_byte + len(window))
+        if need > 0:
+            window += src.read(need)
+        end_bit = min((win_byte + len(window)) * 8, total_bits)
+        base = win_byte * 8
+        arr = np.frombuffer(window, dtype=np.uint8)
+        bounds, _resume, _ib = nat.spec_index(
+            arr, pos_bit - base, end_bit - base, tables, block_len, 0)
+        final = end_bit == total_bits
+        if bounds.size == 0 and not final:
+            raise RuntimeError("block spans a whole window")
+        ls = (np.concatenate([[np.uint64(pos_bit - base)], bounds[:-1]])
+              if bounds.size else np.asarray([pos_bit - base], np.uint64))
+        le = (bounds.copy() if bounds.size
+              else np.zeros(0, np.uint64))
+        if final:
+            last_local = int(bounds[-1]) if bounds.size else pos_bit - base
+            ls = (np.append(ls, np.uint64(last_local)) if bounds.size
+                  else ls)
+            le = np.append(le, np.uint64(end_bit - base))
+        nb = ls.size
+        caps = np.full(nb, block_len, dtype=np.uint64)
+        offs = np.arange(nb, dtype=np.uint64) * np.uint64(block_len)
+        out, out_lens = nat.decode_blocks(arr, ls.astype(np.uint64),
+                                          le.astype(np.uint64), tables,
+                                          offs, caps, None)
+        n_complete = nb - (1 if final else 0)
+        if not np.all(out_lens[:n_complete] == block_len):
+            raise RuntimeError("boundary/letter-count disagreement")
+        total_letters = int(out_lens.sum())
+        on_output(out[:total_letters])
+        if bounds.size:
+            bounds_parts.append(bounds + np.uint64(base))
+        if final:
+            tail_letters = int(out_lens[-1]) if final else 0
+            if nb == 1 and not bounds.size:
+                tail_letters = int(out_lens[0])
+            break
+        new_pos = int(bounds[-1]) + base
+        if new_pos <= pos_bit:
+            raise StreamError(
+                f"{src_path!r} stores invalid header information",
+                "InvalidHeaderInfo",
+            )
+        pos_bit = new_pos
+    boundaries = (np.concatenate(bounds_parts)
+                  if bounds_parts else np.zeros(0, np.uint64))
+    return boundaries, tail_letters
+
+
 def decode_hff_indexed(
     src_path: str, dst_path: str, sidecar_path: str,
     block_len: int = 65536, chunk_bytes: int | None = None,
 ) -> bool:
-    """Decode a foreign ``.hff`` AND build its block-index sidecar in ONE
-    DFA pass (r5, VERDICT r4 #5).
-
-    The previous first-decode path paid three payload reads and two full
-    DFA walks (index pass, verbatim copy pass, then a decode of the
-    sidecar); here the single ``huffc_decode_index`` walk emits the
-    decoded output, records the block boundaries, and feeds the CRC
-    collector, after which the sidecar is prelude + tables + one verbatim
-    payload copy.  Returns True if the sidecar was written (a sidecar-side
-    I/O failure is swallowed — the decoded output is already complete and
-    correct without it)."""
+    """Decode a foreign ``.hff`` AND build its block-index sidecar,
+    PARALLEL (r5): ``spec_index`` splits the serial prefix-code stream
+    across threads via DFA self-synchronization (SURVEY §7's "speculative
+    chunk-resync"), the 4-way interleaved block decoder materializes the
+    output, and the sidecar is prelude + tables + one verbatim payload
+    copy.  Falls back to the serial fused ``decode_index`` walk when the
+    parallel plan does not apply.  Returns True if the sidecar was
+    written (a sidecar-side I/O failure is swallowed — the decoded output
+    is already complete and correct without it)."""
     nat = _native()
     if nat is None:
         raise RuntimeError("decode_hff_indexed requires the native runtime")
@@ -1244,45 +1321,26 @@ def decode_hff_indexed(
         tree, data_padding, header_len = _read_hff_header(src, src_path)
         payload_len = size - header_len
         total_bits = max(payload_len * 8 - data_padding, 0)
-        tables = nat.build_dfa(tree)
         collector = _CrcCollector(crc_every * block_len, nat)
-        bounds_parts = []
-        pos_bit = 0
-        in_block = 0
-        window = b""
-        win_byte = 0
-        while pos_bit < total_bits:
-            drop = pos_bit // 8 - win_byte
-            if drop > 0:
-                window = window[drop:]
-                win_byte += drop
-            want_end = min(win_byte + len(window) + chunk,
-                           (total_bits + 7) // 8)
-            need = want_end - (win_byte + len(window))
-            if need > 0:
-                window += src.read(need)
-            end_bit = min((win_byte + len(window)) * 8, total_bits)
-            out, bounds, resume, in_block = nat.decode_index(
-                np.frombuffer(window, dtype=np.uint8),
-                pos_bit - win_byte * 8, end_bit - win_byte * 8,
-                tables, end_bit - pos_bit, block_len, in_block,
-            )
-            dst.write(out)
-            collector.feed(out)
-            if bounds.size:
-                bounds_parts.append(bounds + np.uint64(win_byte * 8))
-            if end_bit == total_bits:
-                pos_bit = total_bits
-            else:
-                new_pos = resume + win_byte * 8
-                if new_pos <= pos_bit:
-                    raise StreamError(
-                        f"{src_path!r} stores invalid header information",
-                        "InvalidHeaderInfo",
-                    )
-                pos_bit = new_pos
-        boundaries = (np.concatenate(bounds_parts)
-                      if bounds_parts else np.zeros(0, np.uint64))
+
+        def emit(piece) -> None:
+            dst.write(piece.tobytes() if isinstance(piece, np.ndarray)
+                      else piece)
+            collector.feed(piece)
+
+        try:
+            boundaries, in_block = _hff_walk_parallel(
+                src, src_path, tree, total_bits, block_len, chunk, nat,
+                emit)
+        except RuntimeError:
+            # parallel plan defeated (degenerate shape): serial fused walk
+            dst.seek(0)
+            dst.truncate()
+            src.seek(header_len)
+            collector = _CrcCollector(crc_every * block_len, nat)
+            boundaries, in_block = _hff_walk_serial(
+                src, src_path, tree, total_bits, block_len, chunk, nat,
+                emit)
         crcs = collector.finish()
         try:
             _write_hf2_from_hff(sidecar_path, src, header_len, tree,
@@ -1291,6 +1349,52 @@ def decode_hff_indexed(
         except OSError:
             return False
     return True
+
+
+def _hff_walk_serial(
+    src: BinaryIO, src_path: str, tree: HuffTree, total_bits: int,
+    block_len: int, chunk: int, nat, on_output,
+) -> tuple[np.ndarray, int]:
+    """Serial fused decode+index walk (``huffc_decode_index``) — the
+    fallback engine behind :func:`_hff_walk_parallel`, same contract."""
+    tables = nat.build_dfa(tree)
+    bounds_parts = []
+    pos_bit = 0
+    in_block = 0
+    window = b""
+    win_byte = 0
+    while pos_bit < total_bits:
+        drop = pos_bit // 8 - win_byte
+        if drop > 0:
+            window = window[drop:]
+            win_byte += drop
+        want_end = min(win_byte + len(window) + chunk,
+                       (total_bits + 7) // 8)
+        need = want_end - (win_byte + len(window))
+        if need > 0:
+            window += src.read(need)
+        end_bit = min((win_byte + len(window)) * 8, total_bits)
+        out, bounds, resume, in_block = nat.decode_index(
+            np.frombuffer(window, dtype=np.uint8),
+            pos_bit - win_byte * 8, end_bit - win_byte * 8,
+            tables, end_bit - pos_bit, block_len, in_block,
+        )
+        on_output(out)
+        if bounds.size:
+            bounds_parts.append(bounds + np.uint64(win_byte * 8))
+        if end_bit == total_bits:
+            pos_bit = total_bits
+        else:
+            new_pos = resume + win_byte * 8
+            if new_pos <= pos_bit:
+                raise StreamError(
+                    f"{src_path!r} stores invalid header information",
+                    "InvalidHeaderInfo",
+                )
+            pos_bit = new_pos
+    boundaries = (np.concatenate(bounds_parts)
+                  if bounds_parts else np.zeros(0, np.uint64))
+    return boundaries, in_block
 
 
 def transcode_hff_to_hf2(
@@ -1322,46 +1426,19 @@ def transcode_hff_to_hf2(
         tree, data_padding, header_len = _read_hff_header(src, src_path)
         payload_len = size - header_len
         total_bits = max(payload_len * 8 - data_padding, 0)
-        tables = nat.build_dfa(tree)
         collector = _CrcCollector(crc_every * block_len, nat)
-        # pass 1: stream the payload through the decode+index walk (output
-        # feeds the CRC column, then is dropped)
-        bounds_parts = []
-        pos_bit = 0
-        in_block = 0
-        window = b""
-        win_byte = 0
-        while pos_bit < total_bits:
-            drop = pos_bit // 8 - win_byte
-            if drop > 0:
-                window = window[drop:]
-                win_byte += drop
-            want_end = min(win_byte + len(window) + chunk,
-                           (total_bits + 7) // 8)
-            need = want_end - (win_byte + len(window))
-            if need > 0:
-                window += src.read(need)
-            end_bit = min((win_byte + len(window)) * 8, total_bits)
-            out, bounds, resume, in_block = nat.decode_index(
-                np.frombuffer(window, dtype=np.uint8),
-                pos_bit - win_byte * 8, end_bit - win_byte * 8,
-                tables, end_bit - pos_bit, block_len, in_block,
-            )
-            collector.feed(out)
-            if bounds.size:
-                bounds_parts.append(bounds + np.uint64(win_byte * 8))
-            if end_bit == total_bits:
-                pos_bit = total_bits
-            else:
-                new_pos = resume + win_byte * 8
-                if new_pos <= pos_bit:
-                    raise StreamError(
-                        f"{src_path!r} stores invalid header information",
-                        "InvalidHeaderInfo",
-                    )
-                pos_bit = new_pos
-        boundaries = (np.concatenate(bounds_parts)
-                      if bounds_parts else np.zeros(0, np.uint64))
+        # pass 1: parallel index + decode (output feeds the CRC column,
+        # then is dropped); serial fused walk as the fallback engine
+        try:
+            boundaries, in_block = _hff_walk_parallel(
+                src, src_path, tree, total_bits, block_len, chunk, nat,
+                collector.feed)
+        except RuntimeError:
+            src.seek(header_len)
+            collector = _CrcCollector(crc_every * block_len, nat)
+            boundaries, in_block = _hff_walk_serial(
+                src, src_path, tree, total_bits, block_len, chunk, nat,
+                collector.feed)
         # pass 2: header + index + crc column + verbatim payload copy
         _write_hf2_from_hff(dst_path, src, header_len, tree, total_bits,
                             boundaries, in_block, block_len,

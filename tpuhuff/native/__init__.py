@@ -36,6 +36,7 @@ __all__ = [
     "crc32_blocks",
     "extract_rows",
     "index_blocks",
+    "spec_index",
     "stitch_blocks",
     "DfaTables",
     "num_threads",
@@ -175,6 +176,13 @@ def _declare(lib: ctypes.CDLL) -> None:
         _u8p, ctypes.c_uint64, ctypes.c_uint64, _u32p, ctypes.c_int,
     ]
     lib.huffc_crc32_blocks.restype = None
+    lib.huffc_spec_index.argtypes = [
+        _u8p, ctypes.c_uint64, ctypes.c_uint64,
+        _i16p, _u8p, _u8p, _i32p, _i32p, _i16p, _i32p, ctypes.c_int32,
+        ctypes.c_uint64, _u64p, ctypes.c_int64, _u64p, _u64p,
+        ctypes.c_int,
+    ]
+    lib.huffc_spec_index.restype = ctypes.c_int64
 
 
 def available() -> bool:
@@ -471,6 +479,45 @@ def index_blocks(
     )
     if nb < 0:
         raise RuntimeError("huffc_index_blocks: boundary buffer overflow")
+    return bounds[:nb].copy(), int(resume[0]), int(state[0])
+
+
+def spec_index(
+    comp: np.ndarray, start_bit: int, end_bit: int, tables: DfaTables,
+    block_len: int, in_block: int = 0, threads: int | None = None,
+) -> Tuple[np.ndarray, int, int]:
+    """PARALLEL block indexer via DFA self-synchronization (r5, the
+    SURVEY §7 "speculative chunk-resync" design).
+
+    Same contract as :func:`index_blocks` — ``(boundaries, resume_bit,
+    in_block)``, resumable across windows — but T threads parse
+    byte-aligned chunks speculatively from the root state and a cheap
+    serial seam reconciliation splices the true parse together; a seam
+    that fails to coalesce (adversarial tree) degrades to a serial walk
+    of that one chunk.  Falls back to :func:`index_blocks` outright for
+    degenerate trees or regions too small to split."""
+    lib = _load()
+    assert lib is not None
+    comp = np.ascontiguousarray(comp, dtype=np.uint8)
+    cap = int(end_bit - start_bit) // max(int(block_len), 1) + 2
+    bounds = np.zeros(cap, dtype=np.uint64)
+    state = np.asarray([in_block], dtype=np.uint64)
+    resume = np.zeros(1, dtype=np.uint64)
+    nb = int(
+        lib.huffc_spec_index(
+            comp, start_bit, end_bit,
+            tables.next_state.reshape(-1), tables.emit_count.reshape(-1),
+            tables.last_emit_bit.reshape(-1), tables.left, tables.right,
+            tables.state_of_node, tables.node_of_state, tables.root,
+            block_len, bounds, cap, state, resume,
+            threads or num_threads(),
+        )
+    )
+    if nb == -3:
+        return index_blocks(comp, start_bit, end_bit, tables, block_len,
+                            in_block)
+    if nb < 0:
+        raise RuntimeError(f"huffc_spec_index failed: {nb}")
     return bounds[:nb].copy(), int(resume[0]), int(state[0])
 
 
