@@ -165,3 +165,33 @@ def test_fuzz_sidecar_never_poisons_output(tmp_path, monkeypatch):
         with open(sidecar, "wb") as fp:
             fp.write(pristine)
         os.utime(sidecar)
+
+
+def test_fuzz_hff_parallel_first_decode(tmp_path, monkeypatch):
+    """Mutations through the PARALLEL first-decode path (spec_index +
+    interleaved block decode + sidecar build): typed errors or
+    termination, never a crash or hang — the speculative engine's serial
+    fallback and the header guards must hold under corruption too."""
+    from tpuhuff import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    monkeypatch.setattr(stream, "AUTO_INDEX_MIN", 1)
+    src = tmp_path / "src.bin"
+    hff = tmp_path / "a.hff"
+    out = tmp_path / "a.out"
+    src.write_bytes(DATA)
+    read_compress_write(str(src), str(hff))
+    pristine = hff.read_bytes()
+    rng = np.random.default_rng(0x5EC)
+    for case in range(80):
+        hff.write_bytes(_mutate(pristine, rng))
+        sc = str(hff) + ".hf2x"
+        if os.path.exists(sc):
+            os.remove(sc)  # force a fresh parallel first decode each case
+        try:
+            read_decompress_write(str(hff), str(out))
+        except StreamError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(f"case {case}: untyped {type(e).__name__}: {e}")
